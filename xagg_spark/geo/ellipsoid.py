@@ -1,0 +1,94 @@
+"""Equal-area map projections on the WGS84 ellipsoid, pure numpy.
+
+The reference engine (ks905383/xagg) reprojects both pixel rectangles and
+polygons to an EASE-Grid 2.0 CRS before computing intersection areas
+(/root/reference/xagg/core.py:470-497).  The CRS is picked from the polygon
+bounding box: strictly-northern -> EPSG:6931 (LAEA, north pole), strictly
+-southern -> EPSG:6932 (LAEA, south pole), else EPSG:6933 (cylindrical
+equal-area, standard parallel 30N) (/root/reference/xagg/core.py:475-486).
+
+This module implements the forward transforms from the published Snyder
+formulas ("Map Projections: A Working Manual", USGS PP 1395, eq. 3-12,
+10-15..18, 24-21..26) so the engine needs no pyproj.  All functions are
+vectorized over numpy arrays and are used both on the driver (polygon prep)
+and inside Arrow-batched pandas UDFs (refinement clip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84 ellipsoid
+A = 6378137.0
+F = 1.0 / 298.257223563
+E2 = F * (2.0 - F)
+E = np.sqrt(E2)
+
+EPSG_NORTH = 6931
+EPSG_SOUTH = 6932
+EPSG_GLOBAL = 6933
+
+# standard parallel of EPSG:6933 (EASE-Grid 2.0 global)
+_LAT_TS = np.deg2rad(30.0)
+# k0 = cos(phi_ts) / sqrt(1 - e^2 sin^2 phi_ts)   (Snyder eq. 10-13)
+K0 = np.cos(_LAT_TS) / np.sqrt(1.0 - E2 * np.sin(_LAT_TS) ** 2)
+
+
+def q_auth(lat_rad):
+    """Authalic q (Snyder eq. 3-12), vectorized.
+
+    q = (1-e^2) * [ sin(phi)/(1-e^2 sin^2 phi)
+                    - 1/(2e) * ln((1-e sin phi)/(1+e sin phi)) ]
+    """
+    s = np.sin(lat_rad)
+    es = E * s
+    return (1.0 - E2) * (s / (1.0 - E2 * s * s) - np.log((1.0 - es) / (1.0 + es)) / (2.0 * E))
+
+
+QP = float(q_auth(np.pi / 2.0))  # q at the pole
+
+
+def pick_epsg(lat_min: float, lat_max: float) -> int:
+    """EASE CRS choice, same rule as /root/reference/xagg/core.py:475-486.
+
+    Strict inequalities: a bbox touching the equator uses the global grid.
+    """
+    if lat_min > 0 and lat_max > 0:
+        return EPSG_NORTH
+    if lat_min < 0 and lat_max < 0:
+        return EPSG_SOUTH
+    return EPSG_GLOBAL
+
+
+def forward(lon_deg, lat_deg, epsg: int):
+    """Project lon/lat (degrees) to (x, y) meters in the given EASE CRS."""
+    lam = np.deg2rad(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+    q = q_auth(phi)
+    if epsg == EPSG_GLOBAL:
+        # Cylindrical equal-area, Snyder eq. 10-14, 10-15
+        x = A * K0 * lam
+        y = A * q / (2.0 * K0)
+        return x, y
+    if epsg == EPSG_NORTH:
+        # Lambert azimuthal equal-area, north polar aspect (Snyder 24-23/24)
+        rho = A * np.sqrt(np.maximum(QP - q, 0.0))
+        return rho * np.sin(lam), -rho * np.cos(lam)
+    if epsg == EPSG_SOUTH:
+        rho = A * np.sqrt(np.maximum(QP + q, 0.0))
+        return rho * np.sin(lam), rho * np.cos(lam)
+    raise ValueError(f"unsupported EPSG:{epsg}")
+
+
+def cea_band_area(lat0_deg, lat1_deg, lon0_deg, lon1_deg):
+    """Exact EPSG:6933 planar area of a lat/lon-aligned rectangle.
+
+    In the cylindrical equal-area CRS a lat/lon rectangle maps to an
+    axis-aligned rectangle, so area = dx * dy in closed form.  Used by the
+    analytic SQL oracle and as a fast path for rect-rect overlaps.
+    """
+    lam0 = np.deg2rad(np.asarray(lon0_deg, dtype=np.float64))
+    lam1 = np.deg2rad(np.asarray(lon1_deg, dtype=np.float64))
+    q0 = q_auth(np.deg2rad(np.asarray(lat0_deg, dtype=np.float64)))
+    q1 = q_auth(np.deg2rad(np.asarray(lat1_deg, dtype=np.float64)))
+    return (A * K0 * (lam1 - lam0)) * (A * (q1 - q0) / (2.0 * K0))
