@@ -1,0 +1,399 @@
+"""pixel_overlaps: the distributed raster<->vector weighted-overlap join.
+
+Replaces /root/reference/xagg/core.py:281-560 (create_raster_polygons +
+get_pixel_overlaps) with a Spark-first two-phase plan:
+
+  pixel geometry (pure column arithmetic, JVM codegen — no decode needed)
+    -> cell_id by pixel center (one row per pixel: no dedup shuffle ever)
+    -> broadcast hash join against the polygon cell cover (dilated 1 ring,
+       which guarantees no missed pairs when cell >= pixel size)
+    -> exact refine in an Arrow-batched pandas UDF (project vertices to the
+       EASE CRS, Sutherland-Hodgman clip, shoelace area) with a vectorized
+       fully-inside / fully-outside fast path so the O(clip) work is only
+       spent on polygon-boundary pixels
+    -> per-(poly,pixel) area sum (antimeridian halves add, reference G2)
+    -> window-normalized rel_area per polygon (reference A1 semantics:
+       rel_area sums to 1 over ALL overlapping pixels,
+       /root/reference/xagg/core.py:521)
+
+Scale notes (100 TB / 10^12 tiles):
+- the polygon side (cover + projected rings) is broadcast: no shuffle of the
+  pixel side for the join;
+- pixel->cell assignment is by pixel center: candidate rows are unique by
+  construction, so there is no distinct/dedup shuffle;
+- the bbox prefilter (reference P2, /root/reference/xagg/core.py:322-330) is
+  a plain column predicate -> parquet partition pruning when the tile table
+  is partitioned by tile position;
+- hot cells (a cell whose polygon list is long) are handled by AQE skew
+  splitting plus the optional `salt` repartition before the refine UDF.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from ..geo import cells as _cells
+from ..geo import clip as _clip
+from ..geo import ellipsoid as _ell
+from ..geo.bounds import crosses_antimeridian
+from ..grid import AxesGrid, GridSpec
+from ..polygons import PolygonSet
+
+
+class NoOverlapError(Exception):
+    """Same error contract as /root/reference/xagg/core.py:25-27, 499-500."""
+
+
+# ---------------------------------------------------------------------------
+# pixel geometry
+# ---------------------------------------------------------------------------
+
+def pixel_geometry(spark: SparkSession, grid, num_partitions: int | None = None,
+                   weights_pdf: pd.DataFrame | None = None) -> DataFrame:
+    """Long pixel-geometry DataFrame: (pix_idx, iy, ix, lat, lon, lat0, lat1,
+    lon0, lon1[, weight]).
+
+    Built from ``spark.range`` + broadcast per-axis bounds (get_bnds
+    semantics): pure JVM-side column arithmetic, no decode, no Python in the
+    plan.  ``weights_pdf`` (pix_idx, weight) merges an additional weight grid
+    (reference process_weights same-grid fast path, core.py:171-225).
+    """
+    if isinstance(grid, GridSpec):
+        axes = AxesGrid(grid.lat_axis(), grid.lon_axis()).with_bounds()
+        nlat, nlon = grid.nlat, grid.nlon
+    else:
+        axes = grid.with_bounds()
+        nlat, nlon = axes.nlat, axes.nlon
+
+    lat_pdf = pd.DataFrame({"iy": np.arange(nlat, dtype=np.int64),
+                            "lat": axes.lat.astype(np.float64),
+                            "lat0": axes.lat_bnds[:, 0], "lat1": axes.lat_bnds[:, 1]})
+    lon_pdf = pd.DataFrame({"ix": np.arange(nlon, dtype=np.int64),
+                            "lon": axes.lon.astype(np.float64),
+                            "lon0": axes.lon_bnds[:, 0], "lon1": axes.lon_bnds[:, 1]})
+    df_lat = spark.createDataFrame(lat_pdf)
+    df_lon = spark.createDataFrame(lon_pdf)
+    n = nlat * nlon
+    base = spark.range(n, numPartitions=num_partitions) \
+        .select(F.expr(f"id div {nlon}").alias("iy"),
+                F.expr(f"id % {nlon}").alias("ix"),
+                F.col("id").alias("pix_idx"))
+    out = (base.join(F.broadcast(df_lat), "iy").join(F.broadcast(df_lon), "ix"))
+    if weights_pdf is not None:
+        wdf = spark.createDataFrame(weights_pdf[["pix_idx", "weight"]])
+        out = out.join(F.broadcast(wdf), "pix_idx", "left").na.fill({"weight": 0.0})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# refine UDF
+# ---------------------------------------------------------------------------
+
+def _refine_factory(rings_by_poly: dict, epsg: int):
+    """Returns a mapInPandas function computing exact EASE-CRS overlap areas.
+
+    rings_by_poly: poly_idx -> list of lon/lat rings (raw, unprojected;
+    projection happens here so the broadcast stays small)."""
+    proj_cache = {}
+
+    def get_poly(pidx: int):
+        ent = proj_cache.get(pidx)
+        if ent is None:
+            prj = []
+            for r in rings_by_poly[pidx]:
+                x, y = _ell.forward(r[:, 0], r[:, 1], epsg)
+                prj.append(np.stack([x, y], axis=1))
+            edges = []
+            for ring in prj:
+                a = ring
+                b = np.roll(ring, -1, axis=0)
+                edges.append(np.concatenate([a, b], axis=1))  # xa,ya,xb,yb
+            E = np.concatenate(edges, axis=0)
+            ent = (prj, E)
+            proj_cache[pidx] = ent
+        return ent
+
+    cea = epsg == _ell.EPSG_GLOBAL
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_poly, out_pix, out_lat, out_lon, out_area = [], [], [], [], []
+            has_w = "weight" in pdf.columns
+            out_w = [] if has_w else None
+            for pidx, grp in pdf.groupby("poly_idx", sort=False):
+                rings, E = get_poly(int(pidx))
+                x0, y0 = _ell.forward(grp["lon0"].to_numpy(), grp["lat0"].to_numpy(), epsg)
+                x1, y1 = _ell.forward(grp["lon1"].to_numpy(), grp["lat1"].to_numpy(), epsg)
+                m = len(grp)
+                area = np.zeros(m)
+                if cea:
+                    # vectorized fast path: axis-aligned pixel rects in CEA
+                    exa = np.minimum(E[:, 0], E[:, 2]); exb = np.maximum(E[:, 0], E[:, 2])
+                    eya = np.minimum(E[:, 1], E[:, 3]); eyb = np.maximum(E[:, 1], E[:, 3])
+                    # suspicious = any edge bbox intersects pixel bbox
+                    CH = 4096
+                    susp = np.zeros(m, dtype=bool)
+                    inside4 = np.zeros(m, dtype=bool)
+                    for s in range(0, m, CH):
+                        e = min(s + CH, m)
+                        ix0, ix1 = x0[s:e, None], x1[s:e, None]
+                        iy0, iy1 = y0[s:e, None], y1[s:e, None]
+                        susp[s:e] = ((ix0 <= exb[None, :]) & (ix1 >= exa[None, :]) &
+                                     (iy0 <= eyb[None, :]) & (iy1 >= eya[None, :])).any(axis=1)
+                        # PIP (crossing number) for the 4 corners
+                        cin = np.ones(e - s, dtype=bool)
+                        for cx, cy in ((ix0, iy0), (ix0, iy1), (ix1, iy0), (ix1, iy1)):
+                            ya, yb = E[None, :, 1], E[None, :, 3]
+                            xa, xb = E[None, :, 0], E[None, :, 2]
+                            cross = (ya > cy) != (yb > cy)
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                xi = xa + (cy - ya) * (xb - xa) / (yb - ya)
+                            hit = cross & (xi > cx)
+                            cin &= (hit.sum(axis=1) % 2).astype(bool)
+                        inside4[s:e] = cin
+                    full_in = inside4 & ~susp
+                    area[full_in] = (x1[full_in] - x0[full_in]) * (y1[full_in] - y0[full_in])
+                    todo = np.where(susp)[0]
+                else:
+                    todo = np.arange(m)
+                for i in todo:
+                    rect = np.array([[x0[i], y0[i]], [x1[i], y0[i]],
+                                     [x1[i], y1[i]], [x0[i], y1[i]]])
+                    a = 0.0
+                    for ring in rings:
+                        a += _clip.clip_area(ring, rect)
+                    area[i] = a
+                # drop degenerate boundary-touch slivers (GEOS keep_geom_type
+                # drops line/point intersections — core.py:492-496): anything
+                # below 1e-10 of the pixel's own area is FP noise, not overlap
+                pix_area = np.abs((x1 - x0) * (y1 - y0))
+                keep = area > pix_area * 1e-10
+                if keep.any():
+                    out_poly.append(np.full(int(keep.sum()), pidx, dtype=np.int64))
+                    out_pix.append(grp["pix_idx"].to_numpy()[keep])
+                    out_lat.append(grp["lat"].to_numpy()[keep])
+                    out_lon.append(grp["lon"].to_numpy()[keep])
+                    out_area.append(area[keep])
+                    if has_w:
+                        out_w.append(grp["weight"].to_numpy()[keep])
+            if out_poly:
+                data = {"poly_idx": np.concatenate(out_poly),
+                        "pix_idx": np.concatenate(out_pix),
+                        "lat": np.concatenate(out_lat),
+                        "lon": np.concatenate(out_lon),
+                        "area": np.concatenate(out_area)}
+                if has_w:
+                    data["weight"] = np.concatenate(out_w)
+                yield pd.DataFrame(data)
+
+    return refine
+
+
+# ---------------------------------------------------------------------------
+# the weightmap
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WeightMap:
+    """Spark-native weightmap (reference classes.py:33-69): the long overlap
+    table replaces the list-valued pandas cells."""
+    overlaps: DataFrame           # poly_idx, pix_idx, lat, lon, rel_area[, weight]
+    polys: PolygonSet
+    grid: object                  # GridSpec | AxesGrid
+    epsg: int
+    has_weights: bool = False
+
+    def agg_pandas(self) -> pd.DataFrame:
+        """Reconstitute the xagg-shaped `wm.agg` frame (lists per polygon,
+        outer-merged onto polygon attrs — core.py:514-538) for parity tests."""
+        pdf = (self.overlaps.orderBy("poly_idx", "pix_idx").toPandas())
+        rows = []
+        for pidx, grp in pdf.groupby("poly_idx"):
+            rows.append({"poly_idx": int(pidx),
+                         "rel_area": [list(grp["rel_area"])],
+                         "pix_idxs": list(grp["pix_idx"]),
+                         "coords": list(zip(grp["lat"], grp["lon"]))})
+        ov = pd.DataFrame(rows)
+        out = self.polys.attrs.merge(ov, on="poly_idx", how="outer")
+        return out
+
+    def to_file(self, path: str, overwrite: bool = False):
+        from ..io.weightmap_io import save_weightmap
+        save_weightmap(self, path, overwrite=overwrite)
+
+
+# ---------------------------------------------------------------------------
+# the operator
+# ---------------------------------------------------------------------------
+
+def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
+                   weights_pdf: pd.DataFrame | None = None,
+                   res: int | None = None,
+                   subset_bbox: bool = True,
+                   salt: int = 0,
+                   pixels: DataFrame | None = None) -> WeightMap:
+    """Build the weightmap (facade, reference wrappers.py:10-104).
+
+    grid: GridSpec or AxesGrid.  polys: PolygonSet.  weights_pdf: optional
+    (pix_idx, weight) additional weight grid already on this grid (different
+    grids go through operators.regrid first).  salt>0 repartitions candidates
+    to `salt` x parallelism before the refine UDF for hot-cell skew.
+    """
+    if len(polys) == 0:
+        raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
+                             "Check the input `ds` and `gdf_in`.")
+    if isinstance(grid, GridSpec):
+        pixel_deg = float(min(abs(grid.dlat), abs(grid.dlon)))
+    else:
+        grid = grid.with_bounds()
+        dl = np.diff(grid.lat).min() if grid.nlat > 1 else 1.0
+        dn = np.diff(grid.lon).min() if grid.nlon > 1 else 1.0
+        pixel_deg = float(min(abs(dl), abs(dn)))
+    if res is None:
+        res = _cells.pick_resolution(pixel_deg)
+
+    if pixels is None:
+        pixels = pixel_geometry(spark, grid, weights_pdf=weights_pdf)
+
+    # P2 bbox prefilter: pure predicate -> Catalyst pushes it into the scan
+    if subset_bbox:
+        lon_min, lat_min, lon_max, lat_max = polys.total_bounds()
+        pad = 2.0 * pixel_deg
+        pixels = pixels.filter(
+            (F.col("lat") >= lat_min - pad) & (F.col("lat") <= lat_max + pad) &
+            (F.col("lon") >= lon_min - pad) & (F.col("lon") <= lon_max + pad))
+
+    epsg = polys.pick_epsg()
+
+    # polygon cell cover, dilated one ring (guarantees center-cell assignment
+    # of pixels misses nothing when cell size >= pixel size)
+    cell_deg = 360.0 / (1 << res)
+    if cell_deg < pixel_deg:
+        res = _cells.pick_resolution(pixel_deg)
+        cell_deg = 360.0 / (1 << res)
+    cover = polys.cell_cover(res)
+    n = 1 << res
+    dil = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            c = cover.copy()
+            cid = c.cell_id.to_numpy().astype(np.int64)
+            ix = (cid >> 29) & ((1 << 29) - 1)
+            iy = cid & ((1 << 29) - 1)
+            nix = (ix + dx) % n
+            niy = np.clip(iy + dy, 0, n - 1)
+            c["cell_id"] = _cells.cell_id(res, nix, niy)
+            dil.append(c)
+    cover = pd.concat(dil).drop_duplicates().reset_index(drop=True)
+    if len(cover) == 0:
+        raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
+                             "Check the input `ds` and `gdf_in`.")
+    df_cover = spark.createDataFrame(cover)
+
+    # antimeridian pixel split (reference G2, make_multipoly core.py:237-255):
+    # a wrapped pixel (lon0 > lon1) becomes west+east halves; areas add.
+    cross = F.col("lon0") > F.col("lon1")
+    west = pixels.filter(cross).withColumn("lon1", F.lit(180.0))
+    east = pixels.filter(cross).withColumn("lon0", F.lit(-180.0))
+    flat = pixels.filter(~cross)
+    pix2 = flat.unionByName(west).unionByName(east)
+
+    # cell assignment by pixel-half center: unique, deterministic
+    half_lon = (F.col("lon0") + F.col("lon1")) / 2.0
+    half_lat = (F.col("lat0") + F.col("lat1")) / 2.0
+    cells_n = F.lit(n)
+    ixc = F.floor((half_lon + 180.0) / 360.0 * cells_n).cast("long")
+    iyc = F.floor((half_lat + 90.0) / 180.0 * cells_n).cast("long")
+    ixc = ((ixc % cells_n) + cells_n) % cells_n
+    iyc = F.greatest(F.least(iyc, cells_n - 1), F.lit(0))
+    pix2 = pix2.withColumn(
+        "cell_id",
+        (F.lit(res).cast("long") * F.lit(1 << 58).cast("long"))
+        + F.shiftleft(ixc, 29) + iyc)
+
+    cand = pix2.join(F.broadcast(df_cover), "cell_id")
+    if salt > 0:
+        cand = cand.repartition(salt * spark.sparkContext.defaultParallelism)
+
+    rings_by_poly = {i: polys.rings[i] for i in range(len(polys))}
+    fields = [StructField("poly_idx", LongType()), StructField("pix_idx", LongType()),
+              StructField("lat", DoubleType()), StructField("lon", DoubleType()),
+              StructField("area", DoubleType())]
+    has_w = weights_pdf is not None
+    if has_w:
+        fields.append(StructField("weight", DoubleType()))
+    schema = StructType(fields)
+    cols = ["poly_idx", "pix_idx", "lat", "lon", "lat0", "lat1", "lon0", "lon1"]
+    if has_w:
+        cols.append("weight")
+    refined = cand.select(*cols).mapInPandas(_refine_factory(rings_by_poly, epsg), schema)
+
+    # antimeridian halves add up; then window-normalize per polygon (A1)
+    aggs = [F.sum("area").alias("area")]
+    if has_w:
+        aggs.append(F.first("weight").alias("weight"))
+    summed = refined.groupBy("poly_idx", "pix_idx", "lat", "lon").agg(*aggs)
+    from pyspark.sql import Window
+    w = Window.partitionBy("poly_idx")
+    overlaps = (summed
+                .withColumn("rel_area", F.col("area") / F.sum("area").over(w))
+                .drop("area"))
+
+    overlaps = overlaps.persist()
+    if overlaps.limit(1).count() == 0:
+        raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
+                             "Check the input `ds` and `gdf_in`.")
+    return WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
+                     has_weights=has_w)
+
+
+# ---------------------------------------------------------------------------
+# tile decode -> pixel values
+# ---------------------------------------------------------------------------
+
+def tiles_to_pixels(df_images: DataFrame, grid: GridSpec,
+                    variables=("test",)) -> DataFrame:
+    """Decode the image table into long pixel values:
+    (pix_idx, var, t, value).  Arrow-batched mapInPandas; the tile->pixel
+    explode happens in numpy (no per-row Python).
+
+    image_id encodes (var, t, ty, tx) — see synth.image_id.  Geometry is NOT
+    produced here (it's manifest-derived via pixel_geometry), so the decode
+    output stays narrow."""
+    from ..codecs import decode_tile
+
+    gd = grid.to_dict()
+    schema = StructType([
+        StructField("pix_idx", LongType()), StructField("var", StringType()),
+        StructField("t", LongType()), StructField("value", DoubleType()),
+    ])
+
+    def explode_tiles(batches):
+        g = GridSpec.from_dict(gd)
+        for pdf in batches:
+            outs = []
+            for iid, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                           pdf["w"], pdf["h"], pdf["fmt"]):
+                parts = iid.split("_")
+                tx = int(parts[-1]); ty = int(parts[-2]); t = int(parts[-3])
+                var = "_".join(parts[1:-3])
+                arr = decode_tile(buf, fmt, int(w), int(h))
+                iy, ix = g.tile_pixel_indices(ty, tx)
+                outs.append(pd.DataFrame({
+                    "pix_idx": g.pix_idx(iy, ix).ravel(),
+                    "var": var, "t": int(t),
+                    "value": arr.astype(np.float64).ravel()}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df_images.mapInPandas(explode_tiles, schema)

@@ -1,0 +1,83 @@
+"""Driver-side polygon table (the broadcast dimension side).
+
+The reference takes a geopandas GeoDataFrame; without GEOS in this
+environment, polygons are plain numpy vertex rings.  Polygon counts are
+small relative to pixels (counties vs 10^12 tiles), so all per-polygon prep
+(poly_idx assignment, CRS pick, projection, cell cover) happens on the
+driver and ships to executors as a broadcast.
+
+poly_idx is assigned in input order — /root/reference/xagg/core.py:467
+(np.arange over the input), never from partition order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from .geo import cells as _cells
+from .geo import clip as _clip
+from .geo import ellipsoid as _ell
+
+
+def rect_ring(lon0: float, lat0: float, lon1: float, lat1: float) -> np.ndarray:
+    """CCW rectangle ring (lon/lat)."""
+    return np.array([[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1]],
+                    dtype=np.float64)
+
+
+@dataclass
+class PolygonSet:
+    """rings[i] = list of exterior rings (lon/lat (N,2)) of polygon i
+    (len>1 = MultiPolygon); attrs = one row per polygon (no geometry)."""
+    rings: list
+    attrs: pd.DataFrame = None
+
+    def __post_init__(self):
+        n = len(self.rings)
+        # normalize: single ring -> [ring]
+        self.rings = [[np.asarray(r, dtype=np.float64) for r in
+                       (poly if isinstance(poly, (list, tuple)) else [poly])]
+                      for poly in self.rings]
+        if self.attrs is None:
+            self.attrs = pd.DataFrame(index=range(n))
+        self.attrs = self.attrs.reset_index(drop=True)
+        self.attrs["poly_idx"] = np.arange(n, dtype=np.int64)
+
+    def __len__(self):
+        return len(self.rings)
+
+    def total_bounds(self):
+        lons = np.concatenate([r[:, 0] for poly in self.rings for r in poly])
+        lats = np.concatenate([r[:, 1] for poly in self.rings for r in poly])
+        return float(lons.min()), float(lats.min()), float(lons.max()), float(lats.max())
+
+    def pick_epsg(self) -> int:
+        _, lat0, _, lat1 = self.total_bounds()
+        return _ell.pick_epsg(lat0, lat1)
+
+    def projected(self, epsg: int):
+        """poly_idx -> list of projected rings (N,2) float64."""
+        out = {}
+        for i, poly in enumerate(self.rings):
+            prj = []
+            for r in poly:
+                x, y = _ell.forward(r[:, 0], r[:, 1], epsg)
+                prj.append(np.stack([x, y], axis=1))
+            out[i] = prj
+        return out
+
+    def cell_cover(self, res: int) -> pd.DataFrame:
+        """(poly_idx, cell_id) cover rows for the broadcast prefilter."""
+        pi, ci = [], []
+        for i, poly in enumerate(self.rings):
+            ids = []
+            for r in poly:
+                ids.append(_cells.cover_polygon(r[:, 0], r[:, 1], res))
+            ids = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
+            pi.extend([i] * len(ids))
+            ci.extend(ids.tolist())
+        return pd.DataFrame({"poly_idx": np.asarray(pi, dtype=np.int64),
+                             "cell_id": np.asarray(ci, dtype=np.int64)})

@@ -1,0 +1,31 @@
+"""SparkSession factory with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "xagg_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Local-mode session tuned for this engine.
+
+    On a real cluster these confs come from spark-submit; the engine code
+    itself never assumes local mode.  AQE handles runtime re-planning
+    (coalescing small shuffle partitions, skew-join splitting).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.sql.files.maxPartitionBytes", "134217728")
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         .config("spark.ui.enabled", "false"))
+    return b.getOrCreate()
