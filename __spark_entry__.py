@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship query: per-polygon area-weighted aggregate of a
+                    deterministic synthetic image-tile table (the engine's
+                    native input per BASELINE.json input_hint), with polygon
+                    attributes joined from the sf0.001 nation table.
+queries()         — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()      — DuckDB twins; geospatial oracles recompute exact EASE
+                    equal-area overlap fractions analytically in SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: decode tiles -> overlap-join polygons -> weighted mean,
+    polygon attrs from /root/testdata/sf0.001/nation.parquet."""
+    import pandas as pd
+
+    from xagg_spark.driver_queries import QGRID, _qpolys
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    from xagg_spark.synth import generate_spark
+
+    nations = (spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+                    .orderBy("n_nationkey").limit(12).toPandas())
+    polys = _qpolys()
+    polys.attrs["n_name"] = list(nations["n_name"])[:len(polys.attrs)]
+
+    wm = pixel_overlaps(spark, QGRID, polys)
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=3, fmt="png")
+    pix = tiles_to_pixels(imgs, QGRID)
+    out = aggregate(pix, wm, dims=("var", "t"))
+    return out.select("poly_idx", "name", "n_name", "var",
+                      F.col("t").cast("long").alias("t"),
+                      F.round("value", 6).alias("value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from xagg_spark.driver_queries import all_queries
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from xagg_spark.driver_queries import all_oracle_sql
+    return all_oracle_sql()

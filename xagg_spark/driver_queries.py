@@ -1,0 +1,751 @@
+"""Driver-contract queries + DuckDB oracle SQL (the correctness gate).
+
+Each entry pairs a Spark DataFrame implementation (the engine under test)
+with an independent ANSI/DuckDB SQL oracle.  Geospatial queries run over a
+fixed deterministic synthetic grid + polygon set whose exact EASE-CRS
+overlap areas the oracle recomputes ANALYTICALLY (closed-form q() authalic
+formula inline in SQL) — so the oracle genuinely validates the engine's
+decode -> cell join -> refine -> normalize -> aggregate pipeline, not just
+its output format.  Float outputs are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .geo import ellipsoid as _ell
+from .grid import AxesGrid, GridSpec
+from .polygons import PolygonSet, rect_ring
+from .synth import generate_spark, value_sql
+
+# ---------------------------------------------------------------------------
+# fixed geospatial fixtures (binary-exact arithmetic on both sides)
+# ---------------------------------------------------------------------------
+
+QGRID = GridSpec(lat_edge=-10.0, lon_edge=-20.0, dlat=0.5, dlon=0.5,
+                 nlat=40, nlon=80, tile_h=20, tile_w=20)
+NPOLY = 12
+
+
+def _qpolys() -> PolygonSet:
+    rings, names = [], []
+    for i in range(NPOLY):
+        col, row = i % 4, i // 4
+        lon0 = -18.0 + col * 9.0 + 0.125
+        lat0 = -9.0 + row * 6.0 + 0.0625
+        rings.append(rect_ring(lon0, lat0, lon0 + 7.25, lat0 + 5.25))
+        names.append(f"poly{i}")
+    return PolygonSet(rings, pd.DataFrame({"name": names}))
+
+
+# SQL building blocks -------------------------------------------------------
+
+E2 = repr(_ell.E2)
+E = repr(float(_ell.E))
+A = repr(_ell.A)
+
+
+def _q_sql(lat: str) -> str:
+    """Authalic q(lat_deg) — same Snyder eq. 3-12 as geo.ellipsoid.q_auth."""
+    s = f"sin(radians({lat}))"
+    return (f"((1-{E2})*({s}/(1-{E2}*{s}*{s}) - "
+            f"(1/(2*{E}))*ln((1-{E}*{s})/(1+{E}*{s}))))")
+
+
+K0_SQL = f"(cos(radians(30.0))/sqrt(1-{E2}*sin(radians(30.0))*sin(radians(30.0))))"
+
+
+def _cea_area_sql(lat0: str, lat1: str, lon0: str, lon1: str) -> str:
+    return (f"(({A}*{K0_SQL}*(radians({lon1})-radians({lon0}))) * "
+            f"({A}*({_q_sql(lat1)}-{_q_sql(lat0)})/(2*{K0_SQL})))")
+
+
+PIX_CTE = f"""
+pix AS (
+  SELECT CAST(range AS BIGINT) AS pix_idx,
+         (range // 80) AS iy,
+         (range % 80) AS ix,
+         -10.0 + ((range // 80) + 0.5) * 0.5 AS lat,
+         -20.0 + ((range % 80) + 0.5) * 0.5 AS lon,
+         -10.0 + (range // 80) * 0.5 AS lat0,
+         -10.0 + ((range // 80) + 1) * 0.5 AS lat1,
+         -20.0 + (range % 80) * 0.5 AS lon0,
+         -20.0 + ((range % 80) + 1) * 0.5 AS lon1
+  FROM range({QGRID.nlat * QGRID.nlon})
+)"""
+
+POLY_CTE = f"""
+polys AS (
+  SELECT CAST(range AS BIGINT) AS poly_idx,
+         -18.0 + (range % 4) * 9.0 + 0.125 AS plon0,
+         -9.0 + (range // 4) * 6.0 + 0.0625 AS plat0,
+         -18.0 + (range % 4) * 9.0 + 0.125 + 7.25 AS plon1,
+         -9.0 + (range // 4) * 6.0 + 0.0625 + 5.25 AS plat1
+  FROM range({NPOLY})
+)"""
+
+OV_CTE = f"""
+ov AS (
+  SELECT p.poly_idx, x.pix_idx, x.lat, x.lon, x.ix, x.iy,
+         {_cea_area_sql('greatest(x.lat0, p.plat0)', 'least(x.lat1, p.plat1)',
+                        'greatest(x.lon0, p.plon0)', 'least(x.lon1, p.plon1)')} AS area
+  FROM pix x JOIN polys p
+    ON x.lon1 > p.plon0 AND x.lon0 < p.plon1
+   AND x.lat1 > p.plat0 AND x.lat0 < p.plat1
+)"""
+
+REL_CTE = """
+rel AS (
+  SELECT poly_idx, pix_idx, ix, iy, lat, lon,
+         area / sum(area) OVER (PARTITION BY poly_idx) AS rel_area
+  FROM ov
+)"""
+
+
+def _wm(spark):
+    from .operators import pixel_overlaps
+    return pixel_overlaps(spark, QGRID, _qpolys())
+
+
+# ---------------------------------------------------------------------------
+# geospatial queries
+# ---------------------------------------------------------------------------
+
+def q_pixel_overlaps_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A1: cell join + exact refine + window-normalized rel_area."""
+    wm = _wm(spark)
+    return wm.overlaps.select(
+        "poly_idx", "pix_idx",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        F.round("rel_area", 7).alias("rel_area"))
+
+
+SQL_PIXEL_OVERLAPS = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()}, {REL_CTE.strip()}
+SELECT poly_idx, pix_idx, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       round(rel_area, 7) AS rel_area
+FROM rel
+"""
+
+
+def q_aggregate_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/§2.8: full pipeline incl. image decode — area-weighted mean per
+    (polygon, t) of the deterministic tile values."""
+    from .operators import aggregate, tiles_to_pixels
+    wm = _wm(spark)
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=3, fmt="raw32")
+    pix = tiles_to_pixels(imgs, QGRID)
+    out = aggregate(pix, wm, dims=("var", "t"))
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.round("value", 6).alias("value"))
+
+
+SQL_AGG_MEAN = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()},
+ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(3))
+SELECT o.poly_idx, ts.t,
+       round(sum({value_sql('o.ix', 'o.iy', 'ts.t')} * o.area) / sum(o.area), 6) AS value
+FROM ov o CROSS JOIN ts
+GROUP BY o.poly_idx, ts.t
+"""
+
+
+def q_aggregate_weighted_mean_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 NaN semantics: value NaN when (ix+iy+t)%11==0; for_loop weights
+    stay normalized over all pixels (no pixel is all-NaN across t), NaN terms
+    drop out of the sum."""
+    from .operators import aggregate, tiles_to_pixels
+    from .codecs import encode_tile
+    from .synth import value_fn, image_id, caption_for
+    wm = _wm(spark)
+
+    rows = []
+    for t in range(3):
+        for ty in range(QGRID.ntiles_y):
+            for tx in range(QGRID.ntiles_x):
+                iy, ix = QGRID.tile_pixel_indices(ty, tx)
+                arr = value_fn(ix, iy, t).astype(np.float32)
+                arr = np.where((ix + iy + t) % 11 == 0, np.float32(np.nan), arr)
+                rows.append({"image_id": image_id("test", t, ty, tx),
+                             "bytes": encode_tile(arr, "raw32"),
+                             "w": arr.shape[1], "h": arr.shape[0], "fmt": "raw32",
+                             "caption": caption_for("test", t, ty, tx, QGRID),
+                             "phash": 0})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+    pix = tiles_to_pixels(imgs, QGRID)
+    out = aggregate(pix, wm, dims=("var", "t"))
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.round("value", 6).alias("value"))
+
+
+SQL_AGG_MEAN_NAN = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()},
+ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(3))
+SELECT o.poly_idx, ts.t,
+       round(sum(CASE WHEN (o.ix + o.iy + ts.t) % 11 <> 0
+                      THEN {value_sql('o.ix', 'o.iy', 'ts.t')} * o.area ELSE 0 END)
+             / sum(o.area), 6) AS value
+FROM ov o CROSS JOIN ts
+GROUP BY o.poly_idx, ts.t
+"""
+
+
+def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/O3: k=5 nearest pixel centers per polygon centroid, CEA distance,
+    deterministic tie-break on pix_idx."""
+    from .operators.knn import knn_pixels
+    from .operators.overlaps import pixel_geometry
+    pixels = pixel_geometry(spark, QGRID).select("pix_idx", "lat", "lon")
+    centers = pd.DataFrame({
+        "q_id": np.arange(NPOLY, dtype=np.int64),
+        "c_lon": [-18.0 + (i % 4) * 9.0 + 0.125 + 3.625 for i in range(NPOLY)],
+        "c_lat": [-9.0 + (i // 4) * 6.0 + 0.0625 + 2.625 for i in range(NPOLY)],
+    })
+    out = knn_pixels(spark, pixels, centers, k=5)
+    return out.select(F.col("q_id").cast("long").alias("q_id"),
+                      F.col("rank").cast("long").alias("rank"), "pix_idx")
+
+
+SQL_KNN = f"""
+WITH {PIX_CTE.strip()},
+ctr AS (
+  SELECT CAST(range AS BIGINT) AS q_id,
+         -18.0 + (range % 4) * 9.0 + 0.125 + 3.625 AS c_lon,
+         -9.0 + (range // 4) * 6.0 + 0.0625 + 2.625 AS c_lat
+  FROM range({NPOLY})
+),
+d AS (
+  SELECT c.q_id, x.pix_idx,
+         pow({A}*{K0_SQL}*(radians(x.lon)-radians(c.c_lon)), 2)
+       + pow({A}*({_q_sql('x.lat')}-{_q_sql('c.c_lat')})/(2*{K0_SQL}), 2) AS dist2
+  FROM pix x CROSS JOIN ctr c
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, pix_idx FROM (
+  SELECT q_id, pix_idx, row_number() OVER (PARTITION BY q_id ORDER BY dist2, pix_idx) AS rank
+  FROM d
+) WHERE rank <= 5
+"""
+
+
+def q_bbox_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: pixels within the polygons' total bbox padded by 2x grid step."""
+    from .operators.overlaps import pixel_geometry
+    polys = _qpolys()
+    lon_min, lat_min, lon_max, lat_max = polys.total_bounds()
+    pad = 2.0 * 0.5
+    pix = pixel_geometry(spark, QGRID)
+    return (pix.filter((F.col("lat") >= lat_min - pad) & (F.col("lat") <= lat_max + pad)
+                       & (F.col("lon") >= lon_min - pad) & (F.col("lon") <= lon_max + pad))
+               .select("pix_idx", F.round("lat", 6).alias("lat"),
+                       F.round("lon", 6).alias("lon")))
+
+
+SQL_BBOX = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()},
+tb AS (SELECT min(plon0) AS lon_min, min(plat0) AS lat_min,
+              max(plon1) AS lon_max, max(plat1) AS lat_max FROM polys)
+SELECT pix_idx, round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM pix, tb
+WHERE lat >= lat_min - 1.0 AND lat <= lat_max + 1.0
+  AND lon >= lon_min - 1.0 AND lon <= lon_max + 1.0
+"""
+
+
+def q_lon_wrap_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fix_ds lon canonicalization: 0:360 -> -180:180 wrap + ascending rank."""
+    df = spark.range(100).select(
+        F.col("id").alias("orig_idx"),
+        ((((F.col("id") * 37) % 360) + 540.0) % 360.0 - 180.0).alias("lon_wrapped"))
+    w = Window.orderBy("lon_wrapped")
+    return df.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+SQL_LON_WRAP = """
+SELECT CAST(range AS BIGINT) AS orig_idx,
+       ((CAST(range * 37 AS DOUBLE) % 360) + 540.0) % 360.0 - 180.0 AS lon_wrapped,
+       CAST(row_number() OVER (ORDER BY ((CAST(range * 37 AS DOUBLE) % 360) + 540.0) % 360.0 - 180.0) AS BIGINT) AS rank
+FROM range(100)
+"""
+
+
+def q_bounds_halfspacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_bnds half-spacing bounds on an irregular (break-free) axis."""
+    from .operators.overlaps import pixel_geometry
+    lats = np.array([-10.0 + i * 1.0 + ((i * 3) % 4) * 0.125 for i in range(20)])
+    lons = np.array([-5.0 + j * 1.0 for j in range(10)])
+    ag = AxesGrid(lat=lats, lon=lons)
+    pix = pixel_geometry(spark, ag)
+    return pix.select("pix_idx",
+                      F.round("lat0", 6).alias("lat0"), F.round("lat1", 6).alias("lat1"),
+                      F.round("lon0", 6).alias("lon0"), F.round("lon1", 6).alias("lon1"))
+
+
+SQL_BOUNDS = """
+WITH lat_ax AS (
+  SELECT CAST(range AS BIGINT) AS iy,
+         -10.0 + CAST(range AS BIGINT) * 1.0 + CAST((range * 3) % 4 AS BIGINT) * 0.125 AS lat
+  FROM range(20)
+),
+lat_d AS (
+  SELECT iy, lat,
+         coalesce(lat - lag(lat) OVER (ORDER BY iy),
+                  lead(lat) OVER (ORDER BY iy) - lat) AS d
+  FROM lat_ax
+),
+lon_ax AS (SELECT CAST(range AS BIGINT) AS ix, -5.0 + CAST(range AS BIGINT) * 1.0 AS lon FROM range(10))
+SELECT la.iy * 10 + lo.ix AS pix_idx,
+       round(la.lat - 0.5 * la.d, 6) AS lat0, round(la.lat + 0.5 * la.d, 6) AS lat1,
+       round(lo.lon - 0.5, 6) AS lon0, round(lo.lon + 0.5, 6) AS lon1
+FROM lat_d la CROSS JOIN lon_ax lo
+"""
+
+
+def q_antimeridian_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: wrapped pixels split into west/east halves (areas add)."""
+    from .operators.overlaps import pixel_geometry, split_antimeridian
+    ag = AxesGrid(lat=np.array([0.0, 1.0]),
+                  lon=np.array([178.75, 179.75, -179.25, -178.25]))
+    pix = split_antimeridian(pixel_geometry(spark, ag))
+    return pix.select("pix_idx",
+                      F.round("lat0", 6).alias("lat0"), F.round("lat1", 6).alias("lat1"),
+                      F.round("lon0", 6).alias("lon0"), F.round("lon1", 6).alias("lon1"))
+
+
+def _sql_antimeridian() -> str:
+    """Expected VALUES literal, derived from the reference-golden-tested
+    bounds synthesis + split semantics (tests/test_geo.py pins these)."""
+    from .operators.overlaps import _split_rows_for_oracle
+    rows = _split_rows_for_oracle(
+        lat=np.array([0.0, 1.0]),
+        lon=np.array([178.75, 179.75, -179.25, -178.25]))
+    vals = ",\n".join(
+        f"({r['pix_idx']}, {round(r['lat0'],6)}, {round(r['lat1'],6)}, "
+        f"{round(r['lon0'],6)}, {round(r['lon1'],6)})" for r in rows)
+    return (f"SELECT CAST(pix_idx AS BIGINT) AS pix_idx, "
+            f"CAST(lat0 AS DOUBLE) AS lat0, CAST(lat1 AS DOUBLE) AS lat1, "
+            f"CAST(lon0 AS DOUBLE) AS lon0, CAST(lon1 AS DOUBLE) AS lon1 "
+            f"FROM (VALUES {vals}) AS t(pix_idx, lat0, lat1, lon0, lon1)")
+
+
+# ---------------------------------------------------------------------------
+# relational analogs over the driver testdata (F6)
+# ---------------------------------------------------------------------------
+
+def q_window_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: per-order quantity share (window-normalized ratio)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_quantity") / F.sum("l_quantity").over(w), 7).alias("qty_share"))
+
+
+SQL_WINDOW_NORM = """
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey), 7) AS qty_share
+FROM lineitem
+"""
+
+
+def q_poly_attr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 analog: left-outer attribute merge keeping zero-match rows."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cnt = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spent"))
+    return (cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+                .select("c_custkey",
+                        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent")))
+
+
+SQL_POLY_MERGE = """
+SELECT c.c_custkey,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.total_spent, 0.0) AS total_spent
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 4) AS total_spent
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-3 lineitems per order by price, deterministic tie-break."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (li.withColumn("rank", F.row_number().over(w).cast("long"))
+              .filter(F.col("rank") <= 3)
+              .select("l_orderkey", "rank", "l_linenumber",
+                      F.round("l_extendedprice", 4).alias("price")))
+
+
+SQL_TOPK = """
+SELECT l_orderkey, CAST(rank AS BIGINT) AS rank, l_linenumber,
+       round(l_extendedprice, 4) AS price
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregate (batch form of the streaming op)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type",
+                       F.date_format(F.date_trunc("hour", F.col("ts")),
+                                     "yyyy-MM-dd HH:00:00").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+SQL_EVENTS = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops over documents/embeddings
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # dedup on a derived key (lang + first 32 chars) so groups exist
+    keyed = docs.withColumn("k", F.concat_ws("|", "lang", F.substring("text", 1, 32)))
+    return exact_dedup(keyed, ["k"], "doc_id").select("digest", "keeper", "group_size")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(concat_ws(chr(31), lang || '|' || substr(text, 1, 32))) AS digest,
+       min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count(docs).select("doc_id", "n_tokens")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs).select("doc_id", "n_tokens", "mean_token_len",
+                                      "stop_ratio", "quality")
+
+
+SQL_QUALITY = """
+WITH b AS (
+  SELECT doc_id, length(text) AS nc,
+         length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+         (length(text) - length(replace(text, ' the ', ''))) / 5.0
+       + (length(text) - length(replace(text, ' a ', ''))) / 3.0
+       + (length(text) - length(replace(text, ' data ', ''))) / 6.0 AS stops
+  FROM documents
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       round((nc - nt + 1.0) / nt, 6) AS mean_token_len,
+       round(stops / nt, 6) AS stop_ratio,
+       round(least(1.0, nt / 100.0) * 0.5 + least(1.0, stops / 5.0) * 0.5, 6) AS quality
+FROM b
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _sql_lang_id() -> str:
+    from .operators.text import LANG_MARKERS
+    langs = list(LANG_MARKERS)
+    score = {}
+    for lang, ms in LANG_MARKERS.items():
+        terms = [f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}.0" for m in ms]
+        score[lang] = "(" + " + ".join(terms) + ")"
+    expr = "'und'"
+    for lang in reversed(langs):
+        later = langs[langs.index(lang) + 1:]
+        cond = f"{score[lang]} > 0"
+        for o in later:
+            cond += f" AND {score[o]} <= {score[lang]}"
+        expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
+    return (f"SELECT doc_id, {expr} AS lang_pred FROM "
+            f"(SELECT doc_id, ' ' || text || ' ' AS p FROM documents)")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, ('0x' || substr(md5(lower(substr(text, 1, 64))), 1, 15))::BIGINT AS fp
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (minhash_signatures(docs, "text", "doc_id")
+            .select("doc_id", F.col("j").cast("long").alias("j"), "sig"))
+
+
+SQL_MINHASH = """
+WITH sh AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5(substr(d.text, CAST(gs.g AS INT), 4)), 1, 15))::BIGINT % 1000003 AS hm
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 3, 1))) AS g) gs
+),
+hs AS (
+  SELECT doc_id, j.j AS j, (hm * (j.j * 2 + 1) + j.j * 7919) % 1000003 AS sig_term
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+)
+SELECT doc_id, CAST(j AS BIGINT) AS j, min(sig_term) AS sig
+FROM hs GROUP BY doc_id, j
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # near-dup structure: bucket by first 24 chars to create actual overlap
+    keyed = docs.withColumn("text2", F.substring("text", 1, 24))
+    sigs = minhash_signatures(keyed, "text2", "doc_id")
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+SQL_LSH = """
+WITH sh AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5(substr(substr(d.text, 1, 24), CAST(gs.g AS INT), 4)), 1, 15))::BIGINT % 1000003 AS hm
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(substr(d.text, 1, 24)) - 3, 1))) AS g) gs
+),
+hs AS (
+  SELECT doc_id, j.j AS j, (hm * (j.j * 2 + 1) + j.j * 7919) % 1000003 AS sig_term
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+sigs AS (SELECT doc_id, j, min(sig_term) AS sig FROM hs GROUP BY doc_id, j),
+banded AS (
+  SELECT doc_id, (j // 2) AS band,
+         sum(sig * CAST(pow(1000003.0, j % 2) AS BIGINT)) AS band_sig
+  FROM sigs GROUP BY doc_id, (j // 2)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash16
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash16(docs, "text", "doc_id").select("doc_id", "simhash")
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT d.doc_id, t.tok AS tok
+  FROM documents d, LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) t
+  WHERE t.tok <> ''
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 65536 AS hv FROM toks
+),
+bits AS (
+  SELECT doc_id, j.j AS j,
+         sum(CASE WHEN CAST(floor(hv / pow(2.0, j.j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 15)) AS j) j
+  GROUP BY doc_id, j.j
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 40)
+            .withColumn("text2", F.substring("text", 1, 60)))
+    return ngram_jaccard_pairs(docs, "text2", "doc_id", n=4, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, substr(text, 1, 60) AS t FROM documents WHERE doc_id < 40),
+g AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(gs.g AS INT), 4) AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 3, 1))) AS g) gs
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.2 - 1e-12
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return (cosine_topk(queries, corpus, k=10)
+            .select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "cos"))
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+d AS (
+  SELECT q.q_id, c.vec_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+  FROM q CROSS JOIN c
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM d
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+               .filter(F.col("vec_id") < 200)
+    return neardup_pairs(emb, threshold=0.3)
+
+
+SQL_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# image-table ops without SQL oracle (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: decode path health — per-tile pixel stats from the binary payload
+    (PNG codec).  No SQL oracle (binary decode); rows-only check."""
+    from .operators import tiles_to_pixels
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=1, fmt="png")
+    pix = tiles_to_pixels(imgs, QGRID)
+    return (pix.groupBy("var", "t")
+               .agg(F.count(F.lit(1)).alias("n_pixels"),
+                    F.round(F.avg("value"), 2).alias("mean_value"),
+                    F.round(F.min("value"), 2).alias("min_value"),
+                    F.round(F.max("value"), 2).alias("max_value")))
+
+
+def q_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup buckets over the synthetic image table.
+    Rows-only (phash not SQL-reproducible)."""
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=2, fmt="raw32")
+    return (imgs.groupBy("phash")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("image_id").alias("first_image"))
+                .filter(F.col("n") >= 2))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def all_queries():
+    return {
+        "pixel_overlaps_rect": q_pixel_overlaps_rect,
+        "aggregate_weighted_mean": q_aggregate_weighted_mean,
+        "aggregate_weighted_mean_nan": q_aggregate_weighted_mean_nan,
+        "knn_tiles": q_knn_tiles,
+        "bbox_subset": q_bbox_subset,
+        "lon_wrap_canonicalize": q_lon_wrap_canonicalize,
+        "bounds_halfspacing": q_bounds_halfspacing,
+        "antimeridian_split": q_antimeridian_split,
+        "window_normalize": q_window_normalize,
+        "poly_attr_merge": q_poly_attr_merge,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly": q_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "image_decode_stats": q_image_decode_stats,
+        "phash_buckets": q_phash_buckets,
+    }
+
+
+def all_oracle_sql():
+    return {
+        "pixel_overlaps_rect": SQL_PIXEL_OVERLAPS,
+        "aggregate_weighted_mean": SQL_AGG_MEAN,
+        "aggregate_weighted_mean_nan": SQL_AGG_MEAN_NAN,
+        "knn_tiles": SQL_KNN,
+        "bbox_subset": SQL_BBOX,
+        "lon_wrap_canonicalize": SQL_LON_WRAP,
+        "bounds_halfspacing": SQL_BOUNDS,
+        "antimeridian_split": _sql_antimeridian(),
+        "window_normalize": SQL_WINDOW_NORM,
+        "poly_attr_merge": SQL_POLY_MERGE,
+        "topk_per_group": SQL_TOPK,
+        "events_hourly": SQL_EVENTS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": SQL_QUALITY,
+        "lang_id": _sql_lang_id(),
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "minhash_signatures": SQL_MINHASH,
+        "dedup_minhash_lsh": SQL_LSH,
+        "simhash": SQL_SIMHASH,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "ann_cosine_topk": SQL_ANN,
+        "embedding_neardup": SQL_EMB_NEARDUP,
+        # image_decode_stats, phash_buckets: rows-only (binary decode not
+        # SQL-expressible)
+    }

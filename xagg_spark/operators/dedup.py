@@ -1,0 +1,134 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for 10^9+-document corpora:
+- exact dedup is one hash aggregate on a digest (map-side partial combine);
+- MinHash signatures are computed with portable integer arithmetic
+  (md5-prefix -> modular hash family) so any engine reproduces them exactly
+  — the DuckDB oracle recomputes signatures from scratch;
+- LSH banding turns near-dup search into an equi-join on (band, band_sig):
+  shuffle keys are bounded, no pairwise blow-up outside buckets;
+- n-gram Jaccard verifies candidate pairs exactly (the expensive step runs
+  only on LSH survivors at scale; the standalone operator exists for tests).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+MOD = 1000003          # hash space (prime); small but oracle-portable
+HASH_SALT = 7919
+
+
+def _shingles(text_col, n: int = 4):
+    """All character n-grams as an array column (1-based substring)."""
+    t = F.col(text_col)
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+        f"i -> substring({text_col}, i, {n}))")
+
+
+def _h_int(col):
+    """Portable digest -> int: first 15 hex chars of md5 as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, key_cols, id_col: str) -> DataFrame:
+    """Groups of identical content: digest -> (keeper id, group size).
+    Returns one row per duplicate group (size >= 1)."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+    return (df.withColumn("digest", digest)
+              .groupBy("digest")
+              .agg(F.min(id_col).alias("keeper"),
+                   F.count(F.lit(1)).alias("group_size")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 8, shingle: int = 4) -> DataFrame:
+    """(id, hash_idx, sig): sig_j = min over shingles of
+    ((md5int(s) % MOD) * (2j+1) + j*HASH_SALT) % MOD."""
+    ex = (df.select(id_col, F.explode(_shingles(text_col, shingle)).alias("sh"))
+            .withColumn("hm", _h_int(F.col("sh")) % MOD))
+    hashes = F.explode(F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), j -> j)")).alias("j")
+    ex = ex.select(id_col, "hm", hashes)
+    sig = (F.col("hm") * (F.col("j") * 2 + 1) + F.col("j") * HASH_SALT) % MOD
+    return (ex.withColumn("sig_term", sig)
+              .groupBy(id_col, "j")
+              .agg(F.min("sig_term").alias("sig")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        rows_per_band: int = 2) -> DataFrame:
+    """Band the signature matrix and self-join on (band, band_sig):
+    (id_a, id_b) candidate near-duplicate pairs, id_a < id_b, distinct."""
+    banded = (sigs.withColumn("band", F.expr(f"j div {rows_per_band}"))
+                  .groupBy(id_col, "band")
+                  .agg(F.sum(F.col("sig")
+                             * F.pow(F.lit(float(MOD)), F.col("j") % rows_per_band)
+                             .cast("long")).alias("band_sig")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col(f"a.band") == F.col(f"b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        pairs: DataFrame | None = None,
+                        n: int = 4, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (or all pairs if None —
+    test-scale only).  Returns (id_a, id_b, jaccard)."""
+    grams = (df.select(F.col(id_col).alias("_id"),
+                       F.explode(F.array_distinct(_shingles(text_col, n))).alias("g")))
+    if pairs is None:
+        ga, gb = grams.alias("ga"), grams.alias("gb")
+        inter = (ga.join(gb, (F.col("ga.g") == F.col("gb.g"))
+                         & (F.col("ga._id") < F.col("gb._id")))
+                   .groupBy(F.col("ga._id").alias("id_a"),
+                            F.col("gb._id").alias("id_b"))
+                   .agg(F.count(F.lit(1)).alias("n_inter")))
+    else:
+        ga = grams.withColumnRenamed("_id", "id_a")
+        gb = grams.withColumnRenamed("_id", "id_b")
+        inter = (pairs.join(ga, "id_a").join(gb.withColumnRenamed("g", "g2"), "id_b")
+                      .filter(F.col("g") == F.col("g2"))
+                      .groupBy("id_a", "id_b")
+                      .agg(F.count(F.lit(1)).alias("n_inter")))
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    out = (inter
+           .join(sizes.withColumnRenamed("_id", "id_a")
+                      .withColumnRenamed("n_grams", "na"), "id_a")
+           .join(sizes.withColumnRenamed("_id", "id_b")
+                      .withColumnRenamed("n_grams", "nb"), "id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("n_inter")
+                               / (F.col("na") + F.col("nb") - F.col("n_inter")), 6)))
+    return out.filter(F.col("jaccard") >= threshold) \
+              .select("id_a", "id_b", "jaccard")
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens with the portable md5-int hash:
+    bit j set iff sum over tokens of (2*bit_j(h)-1) > 0."""
+    toks = (df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+              .filter(F.col("tok") != "")
+              .withColumn("h", _h_int(F.col("tok")) % 65536))
+    bits = toks.select(
+        id_col,
+        F.explode(F.expr("transform(sequence(0, 15), j -> j)")).alias("j"),
+        "h")
+    pow2 = F.pow(F.lit(2.0), F.col("j")).cast("long")
+    contrib = F.when((F.floor(F.col("h") / pow2) % 2) == 1, 1).otherwise(-1)
+    per_bit = (bits.withColumn("c", contrib)
+                   .groupBy(id_col, "j")
+                   .agg(F.sum("c").alias("s")))
+    return (per_bit
+            .withColumn("bitval",
+                        F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
+                         .otherwise(F.lit(0).cast("long")))
+            .groupBy(id_col)
+            .agg(F.sum("bitval").alias("simhash")))

@@ -232,6 +232,36 @@ class WeightMap:
         save_weightmap(self, path, overwrite=overwrite)
 
 
+def split_antimeridian(pixels: DataFrame) -> DataFrame:
+    """Antimeridian pixel split (reference G2, make_multipoly
+    /root/reference/xagg/core.py:237-255): a wrapped pixel (lon0 > lon1)
+    becomes west + east halves with the same pix_idx; clip areas add like
+    the reference's MultiPolygon parts."""
+    cross = F.col("lon0") > F.col("lon1")
+    west = pixels.filter(cross).withColumn("lon1", F.lit(180.0))
+    east = pixels.filter(cross).withColumn("lon0", F.lit(-180.0))
+    return pixels.filter(~cross).unionByName(west).unionByName(east)
+
+
+def _split_rows_for_oracle(lat: np.ndarray, lon: np.ndarray) -> list:
+    """Driver-side twin of pixel_geometry + split_antimeridian for tiny
+    grids: builds the expected rows the SQL VALUES oracle pins down."""
+    from ..grid import AxesGrid
+    ag = AxesGrid(lat=lat, lon=lon).with_bounds()
+    rows = []
+    for iy in range(ag.nlat):
+        for ix in range(ag.nlon):
+            base = {"pix_idx": int(iy * ag.nlon + ix),
+                    "lat0": float(ag.lat_bnds[iy, 0]), "lat1": float(ag.lat_bnds[iy, 1])}
+            lon0, lon1 = float(ag.lon_bnds[ix, 0]), float(ag.lon_bnds[ix, 1])
+            if lon0 > lon1:
+                rows.append({**base, "lon0": lon0, "lon1": 180.0})
+                rows.append({**base, "lon0": -180.0, "lon1": lon1})
+            else:
+                rows.append({**base, "lon0": lon0, "lon1": lon1})
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # the operator
 # ---------------------------------------------------------------------------
@@ -300,13 +330,7 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                              "Check the input `ds` and `gdf_in`.")
     df_cover = spark.createDataFrame(cover)
 
-    # antimeridian pixel split (reference G2, make_multipoly core.py:237-255):
-    # a wrapped pixel (lon0 > lon1) becomes west+east halves; areas add.
-    cross = F.col("lon0") > F.col("lon1")
-    west = pixels.filter(cross).withColumn("lon1", F.lit(180.0))
-    east = pixels.filter(cross).withColumn("lon0", F.lit(-180.0))
-    flat = pixels.filter(~cross)
-    pix2 = flat.unionByName(west).unionByName(east)
+    pix2 = split_antimeridian(pixels)
 
     # cell assignment by pixel-half center: unique, deterministic
     half_lon = (F.col("lon0") + F.col("lon1")) / 2.0

@@ -1,0 +1,69 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side higher-order functions (zip_with +
+  aggregate) — the exact baseline, one broadcast join + one window;
+- LSH-bucketed variant (random-hyperplane signs with a deterministic
+  portable hash) for the 100 TB scale path: candidates only within a
+  bucket, then exact re-rank.
+
+Cosine accumulates in double in declaration order — bit-identical to the
+DuckDB oracle's list_cosine_similarity within rounding.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _cos_expr(a: str, b: str) -> F.Column:
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+                 f"cast(0.0 as double), (acc, v) -> acc + v)")
+    na = F.expr(f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    nb = F.expr(f"sqrt(aggregate({b}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
+    return dot / (na * nb)
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                q_id: str = "q_id", c_id: str = "vec_id",
+                q_vec: str = "q_vec", c_vec: str = "embedding",
+                round_digits: int = 6) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query side, window
+    row_number per query with deterministic tie-break on corpus id.
+    Output: (q_id, rank, vec_id, cos)."""
+    j = corpus.crossJoin(F.broadcast(queries))
+    j = j.withColumn("cos", F.round(_cos_expr(q_vec, c_vec), round_digits))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id).asc())
+    return (j.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select(q_id, "rank", c_id, "cos"))
+
+
+def neardup_pairs(corpus: DataFrame, threshold: float,
+                  c_id: str = "vec_id", c_vec: str = "embedding",
+                  round_digits: int = 6) -> DataFrame:
+    """All pairs with rounded cosine >= threshold (test scale: O(n^2);
+    at scale run lsh_bucket_candidates first)."""
+    a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"))
+    b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    j = j.withColumn("cos", F.round(_cos_expr("va", "vb"), round_digits))
+    return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def lsh_bucket_candidates(corpus: DataFrame, n_planes: int = 16,
+                          c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """Sign-LSH bucket id per vector: deterministic pseudo-hyperplanes
+    h_p[d] = ((p*131 + d*137) % 1009 - 504) / 504.  Bucket = packed sign
+    bits.  Join vectors by bucket, then exact-verify — the scale path for
+    near-dup search (candidates per bucket ~ n / 2^planes)."""
+    d_expr = f"size({c_vec})"
+    plane_dot = (
+        f"transform(sequence(0, {n_planes - 1}), p -> "
+        f" aggregate(zip_with({c_vec}, sequence(0, {d_expr} - 1), "
+        f"   (x, d) -> cast(x as double) * ((cast((p*131 + d*137) % 1009 as double) - 504.0) / 504.0)), "
+        f"  cast(0.0 as double), (acc, v) -> acc + v))")
+    bucket = (f"aggregate(zip_with({plane_dot}, sequence(0, {n_planes - 1}), "
+              f"(s, p) -> if(s > 0, cast(pow(2.0, p) as bigint), cast(0 as bigint))), "
+              f"cast(0 as bigint), (acc, v) -> acc + v)")
+    return corpus.withColumn("bucket", F.expr(bucket))

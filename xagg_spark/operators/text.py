@@ -1,0 +1,89 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM-side column expressions (no Python UDFs): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.  Every function
+returns a DataFrame and has an exact ANSI-SQL twin in driver_queries (the
+DuckDB oracle), so results are engine-independent and deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# marker words per language for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": [" the ", " a ", " is "],
+    "es": [" la ", " el ", " es "],
+    "de": [" der ", " die ", " und "],
+    "fr": [" le ", " les ", " est "],
+}
+
+
+def _count_occurrences(col, needle: str):
+    """# of occurrences of `needle` via length arithmetic (exact, portable)."""
+    n = len(needle)
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / n
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count as pure length arithmetic (single-space
+    separated corpora); exact and identical in any SQL engine."""
+    c = F.col(text_col)
+    return df.withColumn(
+        out_col,
+        F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+            (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))) + 1
+        ).cast("long"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simple quality features + composite score (rounded for stability):
+    length, token count, mean token length, stopword ratio."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))) + 1
+    stop_hits = sum((_count_occurrences(c, m) for m in (" the ", " a ", " data ")),
+                    F.lit(0.0))
+    return (df
+            .withColumn("n_chars_calc", n_chars.cast("long"))
+            .withColumn("n_tokens", n_tokens.cast("long"))
+            .withColumn("mean_token_len",
+                        F.round((n_chars - n_tokens + 1) / n_tokens, 6))
+            .withColumn("stop_ratio", F.round(stop_hits / n_tokens, 6))
+            .withColumn("quality",
+                        F.round(
+                            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+                            + F.least(F.lit(1.0), stop_hits / F.lit(5.0)) * 0.5, 6)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language heuristic: argmax of per-language marker counts
+    over a fixed alternative order (deterministic tie-break)."""
+    c = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {lang: sum((_count_occurrences(c, m) for m in ms), F.lit(0.0))
+              for lang, ms in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    # first language (in LANG_MARKERS order) with the maximal positive score:
+    # lang wins iff score>0 and no earlier lang has >= score and no later
+    # lang has > score.  Built as a CASE chain in declaration order, which
+    # encodes the tie-break for free.
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        later = langs[langs.index(lang) + 1:]
+        cond = scores[lang] > 0
+        for other in later:
+            cond = cond & (scores[other] <= scores[lang])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fp") -> DataFrame:
+    """64-bit-ish content fingerprint: md5 prefix of the lowercased first
+    64 chars, as int (matches the SQL oracle's hex cast)."""
+    key = F.lower(F.substring(F.col(text_col), 1, 64))
+    return df.withColumn(
+        out_col, F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"))
