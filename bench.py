@@ -1,0 +1,166 @@
+"""Benchmark harness: headline queries + N-vs-4N scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "rows_per_sec": {...}, "scaling": {...}}
+
+The geospatial job is the north-rule metric: tiles decoded + PIP-joined
+rows/sec with per-polygon aggregate, run at local[8] and local[32] on the
+same deterministic input ("two cluster sizes" sandbox protocol —
+BASELINE.md).  Table-based queries run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# bench grid: 0.05 deg x [20S..40N] x [40W..80E] = 1200x2400 = 2.88M pixels,
+# 3 timesteps -> 8.64M pixel values, 64x64 tiles -> 2,166 images
+def _bench_grid():
+    from xagg_spark.grid import GridSpec
+    return GridSpec(lat_edge=-20.0, lon_edge=-40.0, dlat=0.05, dlon=0.05,
+                    nlat=1200, nlon=2400, tile_h=64, tile_w=64)
+
+
+def _bench_polys():
+    """24 polygons of very different sizes (incl. one domain-scale polygon
+    for hot-cell skew) + 2 triangles; all deterministic."""
+    from xagg_spark.polygons import PolygonSet, rect_ring
+    rings, names = [], []
+    for i in range(20):
+        col, row = i % 5, i // 5
+        lon0 = -35.0 + col * 22.0 + (i % 3) * 0.13
+        lat0 = -17.0 + row * 9.0 + (i % 2) * 0.21
+        w = 2.0 + (i % 4) * 4.5     # 2 .. 15.5 degrees wide
+        h = 1.5 + (i % 3) * 2.75
+        rings.append(rect_ring(lon0, lat0, lon0 + w, lat0 + h))
+        names.append(f"rect{i}")
+    rings.append(np.array([[-30.0, -15.0], [50.0, -12.0], [10.0, 35.0]]))
+    names.append("tri_big")
+    rings.append(np.array([[60.0, 0.0], [75.0, 5.0], [65.0, 20.0]]))
+    names.append("tri_ne")
+    rings.append(rect_ring(-38.0, -19.0, 78.0, 39.0))   # near-whole-domain
+    names.append("continent")
+    return PolygonSet(rings, pd.DataFrame({"name": names}))
+
+
+def _ensure_images(spark, grid):
+    from xagg_spark.synth import generate_spark
+    path = os.path.join(CACHE, "bench_images")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        generate_spark(spark, grid, variables=("test",), ntime=3, fmt="raw32",
+                       num_partitions=CPUS * 2).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _geo_job(spark, grid, polys):
+    """decode -> overlap join -> aggregate; returns (timings, row counts)."""
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    t = {}
+    n = {}
+    imgs = _ensure_images(spark, grid)
+
+    t0 = time.time()
+    pix = tiles_to_pixels(imgs, grid)
+    n["pixel_values"] = pix.count()
+    t["decode"] = time.time() - t0
+
+    t0 = time.time()
+    wm = pixel_overlaps(spark, grid, polys, salt=0)
+    n["overlap_rows"] = wm.overlaps.count()
+    t["weightmap"] = time.time() - t0
+
+    t0 = time.time()
+    out = aggregate(pix, wm, dims=("var", "t"))
+    n["result_rows"] = out.count()
+    t["aggregate"] = time.time() - t0
+    wm.overlaps.unpersist()
+    return t, n
+
+
+def _session(master, shuffle):
+    from xagg_spark.session import get_spark
+    return get_spark("bench", master=master, shuffle_partitions=shuffle)
+
+
+def run():
+    os.makedirs(CACHE, exist_ok=True)
+    grid = _bench_grid()
+    polys = _bench_polys()
+    queries = {}
+    rows_per_sec = {}
+
+    # ---- scaling evidence: same geospatial job at local[8] and local[32]
+    scaling = {}
+    for ncores in (8, CPUS):
+        spark = _session(f"local[{ncores}]", max(ncores, 8))
+        # warm the image cache outside the timed stages
+        _ensure_images(spark, grid)
+        t, n = _geo_job(spark, grid, polys)
+        spark.stop()
+        work_rows = n["pixel_values"] + n["overlap_rows"]
+        tsec = t["decode"] + t["weightmap"] + t["aggregate"]
+        scaling[f"local[{ncores}]"] = {
+            "sec": round(tsec, 2), "stages": {k: round(v, 2) for k, v in t.items()},
+            "rows": n, "rows_per_sec": round(work_rows / tsec, 0)}
+        if ncores == CPUS:
+            queries["geo_decode"] = round(t["decode"], 2)
+            queries["geo_weightmap"] = round(t["weightmap"], 2)
+            queries["geo_aggregate"] = round(t["aggregate"], 2)
+            rows_per_sec["pip_join_agg"] = round(work_rows / tsec, 0)
+    t8 = scaling["local[8]"]["sec"]
+    t32 = scaling[f"local[{CPUS}]"]["sec"]
+    scaling["efficiency_8_to_32"] = round((t8 / t32) / (CPUS / 8), 3)
+
+    # ---- table-based headline queries at SF_DIR on local[CPUS]
+    spark = _session(f"local[{CPUS}]", CPUS)
+    from xagg_spark.driver_queries import (q_ann_cosine_topk,
+                                           q_dedup_minhash_lsh,
+                                           q_knn_tiles, q_simhash,
+                                           q_topk_per_group,
+                                           q_window_normalize)
+    for name, fn in [("window_normalize", q_window_normalize),
+                     ("topk_per_group", q_topk_per_group),
+                     ("minhash_lsh", q_dedup_minhash_lsh),
+                     ("simhash", q_simhash),
+                     ("ann_cosine_topk", q_ann_cosine_topk),
+                     ("knn_tiles", q_knn_tiles)]:
+        t0 = time.time()
+        cnt = fn(spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 2)
+        rows_per_sec[name] = round(cnt / max(queries[name], 1e-3), 0)
+    spark.stop()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "tiles+PIP-joined rows/sec with per-polygon aggregate; "
+                  "scaling local[8]->local[32]",
+        "value": round(sum(queries.values()), 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_per_sec": rows_per_sec,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    run()

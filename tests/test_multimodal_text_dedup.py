@@ -1,0 +1,138 @@
+"""Tests for multimodal plumbing, text ops, dedup and similarity operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xagg_spark.grid import GridSpec
+from xagg_spark.synth import generate_spark, value_fn
+
+GRID = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=0.5, dlon=0.5,
+                nlat=16, nlon=16, tile_h=8, tile_w=8)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_image_features(spark):
+    from xagg_spark.operators.multimodal import image_features
+    imgs = generate_spark(spark, GRID, ntime=1, fmt="png")
+    f = image_features(imgs).toPandas()
+    assert len(f) == GRID.ntiles
+    assert (f["p_nan"] == 0.0).all()
+    assert (f["mean"] > 0).all() and (f["mean"] < 98).all()
+    assert all(abs(sum(h) - 1.0) < 1e-5 for h in f["hist"])
+
+
+def test_image_resize(spark):
+    from xagg_spark.operators.multimodal import image_resize
+    from xagg_spark.codecs import decode_tile
+    imgs = generate_spark(spark, GRID, ntime=1, fmt="raw32")
+    small = image_resize(imgs, 4, 4).toPandas()
+    assert set(small["w"]) == {4} and set(small["h"]) == {4}
+    arr = decode_tile(small["bytes"].iloc[0], "raw32", 4, 4)
+    assert arr.shape == (4, 4) and np.isfinite(arr).all()
+
+
+def test_psnr_check_lossy_passes_gate(spark):
+    from xagg_spark.operators.multimodal import psnr_check
+    imgs = generate_spark(spark, GRID, ntime=1, fmt="q8")
+    res = psnr_check(imgs, GRID, value_fn).toPandas()
+    assert res["passed"].all(), res
+
+
+def test_caption_equality(spark):
+    # input_hint: caption carried through unmodified
+    from xagg_spark.synth import caption_for
+    imgs = generate_spark(spark, GRID, ntime=1, fmt="raw32").toPandas()
+    for r in imgs.itertuples():
+        parts = r.image_id.split("_")
+        tx, ty, t = int(parts[-1]), int(parts[-2]), int(parts[-3])
+        assert r.caption == caption_for("test", t, ty, tx, GRID)
+
+
+def test_audio_video_stubs(spark):
+    from xagg_spark.operators.multimodal import decode_audio, sample_video_frames
+    with pytest.raises(NotImplementedError):
+        decode_audio(None)
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(None)
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    from xagg_spark.operators.dedup import exact_dedup
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["aaa", "bbb", "aaa", "ccc", "aaa"]}))
+    out = exact_dedup(df, ["text"], "doc_id").toPandas()
+    g = out[out.group_size == 3]
+    assert len(g) == 1 and g.keeper.iloc[0] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from xagg_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base.replace("dog", "cat"),
+                 "completely different content about spark aggregation plans"]}))
+    sigs = minhash_signatures(df, "text", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id").toPandas()
+    pairset = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairset
+    assert (0, 2) not in pairset and (1, 2) not in pairset
+
+
+def test_ngram_jaccard_values(spark):
+    from xagg_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["abcdef", "abcdeg"]}))
+    out = ngram_jaccard_pairs(df, "text", "doc_id", n=3).toPandas()
+    # grams: {abc,bcd,cde,def} vs {abc,bcd,cde,deg}: 3 shared / 5 union
+    assert len(out) == 1 and np.isclose(out.jaccard.iloc[0], 0.6)
+
+
+def test_simhash_similar_docs_close(spark):
+    from xagg_spark.operators.dedup import simhash16
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta gamma delta epsilon zeta theta iota kappa lambention mu nu",
+                 "alpha beta gamma delta epsilon zzzz theta iota kappa lambention mu nu",
+                 "one two three four five six seven eight nine ten eleven twelve"]}))
+    out = simhash16(df, "text", "doc_id").toPandas().set_index("doc_id")
+    h0, h1, h2 = int(out.loc[0, "simhash"]), int(out.loc[1, "simhash"]), int(out.loc[2, "simhash"])
+    d01 = bin(h0 ^ h1).count("1")
+    d02 = bin(h0 ^ h2).count("1")
+    assert d01 < d02
+
+
+def test_cosine_topk_ranks_exact_match_first(spark):
+    from xagg_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter("vec_id = 7")
+            .select(emb.vec_id.alias("q_id"), emb.embedding.alias("q_vec")))
+    top = cosine_topk(q, emb, k=3).toPandas()
+    assert top[top["rank"] == 1].vec_id.iloc[0] == 7  # self-match first
+    assert np.isclose(top[top["rank"] == 1].cos.iloc[0], 1.0)
+
+
+def test_lsh_buckets_deterministic(spark):
+    from xagg_spark.operators.similarity import lsh_bucket_candidates
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id < 50")
+    b1 = lsh_bucket_candidates(emb).select("vec_id", "bucket").toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b2 = lsh_bucket_candidates(emb).select("vec_id", "bucket").toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b1, b2)
+    assert b1["bucket"].nunique() > 1
+
+
+def test_lang_id_markers(spark):
+    from xagg_spark.operators.text import lang_id
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["this is the house of the dog", "la casa es la mejor es",
+                 "xyz qqq zzz"]}))
+    out = lang_id(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "es"
+    assert out.loc[2, "lang_pred"] == "und"

@@ -1,0 +1,79 @@
+"""Weightmap save/load round-trip + kill/resume (reference S3/S4 + north_rule).
+
+Reference round-trip test: /root/reference/tests/test_export.py:292-359.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xagg_spark import (GridSpec, PolygonSet, read_wm, rect_ring,
+                        resume_pixel_overlaps, save_weightmap)
+from xagg_spark.operators import aggregate, pixel_overlaps
+
+GRID = GridSpec(lat_edge=-2.0, lon_edge=-2.0, dlat=0.5, dlon=0.5,
+                nlat=8, nlon=8, tile_h=8, tile_w=8)
+
+
+def _polys():
+    return PolygonSet([rect_ring(-1.3, -1.2, 0.7, 0.9),
+                       rect_ring(0.1, 0.1, 1.9, 1.8)],
+                      pd.DataFrame({"name": ["a", "b"]}))
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    wm = pixel_overlaps(spark, GRID, _polys())
+    before = wm.overlaps.orderBy("poly_idx", "pix_idx").toPandas()
+    path = str(tmp_path / "wm")
+    save_weightmap(wm, path)
+    wm2 = read_wm(spark, path)
+    after = wm2.overlaps.orderBy("poly_idx", "pix_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after, check_like=True)
+    assert list(wm2.polys.attrs["name"]) == ["a", "b"]
+    assert wm2.epsg == wm.epsg
+    # overwrite guard (reference export.py:20-21)
+    with pytest.raises(FileExistsError):
+        save_weightmap(wm, path)
+    save_weightmap(wm, path, overwrite=True)  # succeeds
+
+
+def test_resume_after_kill(spark, tmp_path):
+    """Kill after 2 of 4 buckets; rerun resumes without recomputing done
+    buckets and the final weightmap equals the non-resumable one."""
+    ck = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        resume_pixel_overlaps(spark, GRID, _polys(), ck, n_buckets=4,
+                              _fail_after=2)
+    wm, computed = resume_pixel_overlaps(spark, GRID, _polys(), ck, n_buckets=4)
+    assert computed == 2  # only the pending 2 buckets ran
+    got = wm.overlaps.orderBy("poly_idx", "pix_idx").toPandas()
+    want = (pixel_overlaps(spark, GRID, _polys())
+            .overlaps.orderBy("poly_idx", "pix_idx").toPandas())
+    assert len(got) == len(want)
+    assert np.allclose(got.rel_area.to_numpy(), want.rel_area.to_numpy(), atol=1e-12)
+    assert (got.pix_idx.to_numpy() == want.pix_idx.to_numpy()).all()
+    # rerun again: nothing recomputed
+    wm3, computed3 = resume_pixel_overlaps(spark, GRID, _polys(), ck, n_buckets=4)
+    assert computed3 == 0
+
+
+def test_resumed_wm_aggregates_identically(spark, tmp_path):
+    from xagg_spark.codecs import encode_tile
+    from xagg_spark.synth import value_fn
+
+    ck = str(tmp_path / "ck2")
+    wm_r, _ = resume_pixel_overlaps(spark, GRID, _polys(), ck, n_buckets=3)
+    wm_d = pixel_overlaps(spark, GRID, _polys())
+    rows = []
+    for t in range(2):
+        iy, ix = GRID.tile_pixel_indices(0, 0)
+        arr = value_fn(ix, iy, t)
+        rows.append({"image_id": f"tile_test_{t:04d}_00000_00000",
+                     "bytes": encode_tile(arr, "raw32"), "w": 8, "h": 8,
+                     "fmt": "raw32", "caption": "c", "phash": 0})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+    from xagg_spark.operators import tiles_to_pixels
+    pix = tiles_to_pixels(imgs, GRID)
+    a = aggregate(pix, wm_r).orderBy("poly_idx", "t").toPandas()
+    b = aggregate(pix, wm_d).orderBy("poly_idx", "t").toPandas()
+    assert np.allclose(a["value"], b["value"], atol=1e-12)

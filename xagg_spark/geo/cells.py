@@ -74,30 +74,96 @@ def pick_resolution(pixel_deg: float, target_pixels_per_cell: float = 4.0) -> in
     return int(np.clip(res, 0, MAX_RES))
 
 
-def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int) -> np.ndarray:
-    """Cell cover of a polygon ring: bbox cells filtered to those whose cell
-    rectangle actually intersects the polygon (edge test + containment), so
-    the broadcast prefilter stays tight for large/skewed polygons."""
-    from .clip import clip_polygon_convex
+def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int,
+                  dilate: bool = False) -> np.ndarray:
+    """Cell cover of a polygon ring, fully vectorized (no per-cell Python):
 
+    cover = { cells whose CENTER is inside the polygon  (interior, PIP on
+              the whole center grid at once) }
+          ∪ { cells any polygon EDGE passes through     (boundary, per-edge
+              conservative rasterization — walk the edge's x-columns and
+              mark the y-rows its segment spans in each column) }
+
+    Slightly conservative on the boundary (may include a touching neighbor
+    cell) — harmless: refine computes exact areas and drops empties.  Cost
+    is O(interior cells) numpy + O(perimeter cells) per edge, which keeps
+    domain-scale polygons (10^5+ cells) in milliseconds instead of minutes.
+    """
+    n = 1 << res
+    cw = 360.0 / n   # cell width (lon)
+    ch = 180.0 / n   # cell height (lat)
     lon0, lon1 = float(np.min(lons)), float(np.max(lons))
     lat0, lat1 = float(np.min(lats)), float(np.max(lats))
-    n = 1 << res
     x0, x1 = cell_range(lon0, lon1, res, True)
     y0, y1 = cell_range(lat0, lat1, res, False)
-    subject = np.stack([lons, lats], axis=1)
-    keep_x, keep_y = [], []
-    for ix in range(x0, x1 + 1):
-        clon0 = -180.0 + ix * 360.0 / n
-        clon1 = clon0 + 360.0 / n
-        for iy in range(y0, y1 + 1):
-            clat0 = -90.0 + iy * 180.0 / n
-            clat1 = clat0 + 180.0 / n
-            rect = np.array([[clon0, clat0], [clon1, clat0], [clon1, clat1], [clon0, clat1]])
-            ring = clip_polygon_convex(subject, rect)
-            if len(ring) >= 3:
-                keep_x.append(ix % n)
-                keep_y.append(iy)
-    if not keep_x:
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+
+    # interior: point-in-polygon for every cell center (vectorized)
+    cx = -180.0 + (np.arange(x0, x1 + 1) + 0.5) * cw
+    cy = -90.0 + (np.arange(y0, y1 + 1) + 0.5) * ch
+    GX, GY = np.meshgrid(cx, cy, indexing="ij")      # (nx, ny)
+    ex0, ey0 = lons, lats
+    ex1, ey1 = np.roll(lons, -1), np.roll(lats, -1)
+    inside = np.zeros((nx, ny), dtype=bool)
+    P = GX.ravel()[:, None], GY.ravel()[:, None]
+    px, py = P
+    crossing = np.zeros(px.shape[0], dtype=np.int64)
+    CH = 1 << 20
+    for s in range(0, px.shape[0], CH):
+        e = min(s + CH, px.shape[0])
+        ya, yb = ey0[None, :], ey1[None, :]
+        xa, xb = ex0[None, :], ex1[None, :]
+        cy_ = py[s:e]
+        cx_ = px[s:e]
+        cross = (ya > cy_) != (yb > cy_)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = xa + (cy_ - ya) * (xb - xa) / (yb - ya)
+        crossing[s:e] = (cross & (xi > cx_)).sum(axis=1)
+    inside = (crossing % 2).astype(bool).reshape(nx, ny)
+
+    mark = inside.copy()
+
+    # boundary: conservative per-edge rasterization
+    for k in range(len(lons)):
+        ax, ay, bx, by = ex0[k], ey0[k], ex1[k], ey1[k]
+        gx0 = int(np.floor((min(ax, bx) + 180.0) / cw))
+        gx1 = int(np.floor((max(ax, bx) + 180.0) / cw))
+        for gx in range(max(gx0, x0), min(gx1, x1) + 1):
+            # segment's y-range within this x column (clip the segment to
+            # the column's lon span, conservative by column edges)
+            cxa = -180.0 + gx * cw
+            cxb = cxa + cw
+            if ax == bx:
+                ylo, yhi = min(ay, by), max(ay, by)
+            else:
+                t0 = np.clip((cxa - ax) / (bx - ax), 0.0, 1.0)
+                t1 = np.clip((cxb - ax) / (bx - ax), 0.0, 1.0)
+                ya_ = ay + t0 * (by - ay)
+                yb_ = ay + t1 * (by - ay)
+                ylo, yhi = min(ya_, yb_), max(ya_, yb_)
+            gy0 = max(int(np.floor((ylo + 90.0) / ch)), y0)
+            gy1 = min(int(np.floor((yhi + 90.0) / ch)), y1)
+            if gy1 >= gy0:
+                mark[gx - x0, gy0 - y0:gy1 - y0 + 1] = True
+
+    if dilate:
+        # 1-ring dilation on the boolean grid (pad, then 8-neighbor OR):
+        # guarantees a pixel assigned to its CENTER cell is never missed
+        # when cell size >= pixel size (pixel pokes <= half a cell out)
+        pad = np.zeros((nx + 2, ny + 2), dtype=bool)
+        pad[1:-1, 1:-1] = mark
+        d = pad.copy()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                d |= np.roll(np.roll(pad, dx, axis=0), dy, axis=1)
+        kx, ky = np.nonzero(d)
+        kx, ky = kx - 1 + x0, ky - 1 + y0
+        ok = (ky >= 0) & (ky < n)
+        kx, ky = kx[ok] % n, ky[ok]
+        if len(kx) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return np.unique(cell_id(res, kx, ky))
+    kx, ky = np.nonzero(mark)
+    if len(kx) == 0:
         return np.zeros(0, dtype=np.int64)
-    return np.unique(cell_id(res, np.asarray(keep_x), np.asarray(keep_y)))
+    return np.unique(cell_id(res, (kx + x0) % n, ky + y0))

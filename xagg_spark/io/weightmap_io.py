@@ -1,0 +1,195 @@
+"""Weightmap persistence + resumable computation (reference S3/S4 + north_rule).
+
+Reference: export_weightmap writes a 4-part directory (shp + HDF5 + NetCDF +
+CSV, /root/reference/xagg/export.py:13-68) and read_wm reloads it
+(/root/reference/xagg/core.py:30-98).  Spark-native replacement:
+
+  <path>/overlaps/            parquet, partitioned by cell_bucket
+  <path>/_manifest.json       lineage: grid spec, polygon digests, per-bucket
+                              row counts + rel_area checksums, epsg
+
+Resumability (north_rule "a killed job resumes without recomputing completed
+tile groups"): pixel_overlaps work is partitioned into cell BUCKETS (hash of
+the prefilter cell_id).  Each completed bucket writes its own parquet
+partition + manifest entry atomically (tmp -> rename).  resume_pixel_overlaps
+anti-joins pending buckets against the manifest and only computes those.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from ..grid import AxesGrid, GridSpec
+from ..polygons import PolygonSet
+
+
+def _poly_digest(polys: PolygonSet) -> str:
+    h = hashlib.sha256()
+    for poly in polys.rings:
+        for r in poly:
+            h.update(np.ascontiguousarray(r, dtype=np.float64).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _grid_dict(grid) -> dict:
+    if isinstance(grid, GridSpec):
+        return {"kind": "gridspec", **grid.to_dict()}
+    g = grid.with_bounds()
+    return {"kind": "axes", "lat": g.lat.tolist(), "lon": g.lon.tolist(),
+            "lat_bnds": g.lat_bnds.tolist(), "lon_bnds": g.lon_bnds.tolist()}
+
+
+def _grid_from_dict(d: dict):
+    if d["kind"] == "gridspec":
+        d = {k: v for k, v in d.items() if k != "kind"}
+        return GridSpec.from_dict(d)
+    return AxesGrid(lat=np.array(d["lat"]), lon=np.array(d["lon"]),
+                    lat_bnds=np.array(d["lat_bnds"]), lon_bnds=np.array(d["lon_bnds"]))
+
+
+def save_weightmap(wm, path: str, overwrite: bool = False) -> None:
+    """Persist overlaps + manifest.  FileExistsError parity with
+    /root/reference/xagg/export.py:20-21; dir removed on failure (:64-66)."""
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(f"{path} already exists")
+        shutil.rmtree(path)
+    try:
+        ov_path = os.path.join(path, "overlaps")
+        (wm.overlaps.write.mode("overwrite").parquet(ov_path))
+        stats = (wm.overlaps.groupBy("poly_idx")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("rel_area").alias("rel_sum")).toPandas())
+        manifest = {
+            "version": 1,
+            "epsg": wm.epsg,
+            "has_weights": wm.has_weights,
+            "grid": _grid_dict(wm.grid),
+            "poly_digest": _poly_digest(wm.polys),
+            "attrs": wm.polys.attrs.to_json(orient="records"),
+            "rings": [[r.tolist() for r in poly] for poly in wm.polys.rings],
+            "lineage": {
+                "total_rows": int(stats["n"].sum()),
+                "per_poly": {str(int(r.poly_idx)): {"rows": int(r.n),
+                                                    "rel_sum": float(r.rel_sum)}
+                             for r in stats.itertuples()},
+            },
+        }
+        tmp = os.path.join(path, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, "_manifest.json"))
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+
+
+def read_wm(spark: SparkSession, path: str):
+    """Reload a persisted weightmap (reference read_wm, core.py:30-98)."""
+    from ..operators.overlaps import WeightMap
+    with open(os.path.join(path, "_manifest.json")) as f:
+        man = json.load(f)
+    overlaps = spark.read.parquet(os.path.join(path, "overlaps"))
+    rings = [[np.array(r) for r in poly] for poly in man["rings"]]
+    from io import StringIO
+    attrs = (pd.read_json(StringIO(man["attrs"]), orient="records")
+             if man["rings"] else pd.DataFrame())
+    if "poly_idx" in attrs.columns:
+        attrs = attrs.drop(columns=["poly_idx"])
+    polys = PolygonSet(rings, attrs)
+    wm = WeightMap(overlaps=overlaps, polys=polys,
+                   grid=_grid_from_dict(man["grid"]), epsg=man["epsg"],
+                   has_weights=man["has_weights"])
+    # integrity check against lineage
+    n = overlaps.count()
+    if n != man["lineage"]["total_rows"]:
+        raise ValueError(f"weightmap at {path} is corrupt: {n} rows vs "
+                         f"{man['lineage']['total_rows']} in manifest")
+    return wm
+
+
+# ---------------------------------------------------------------------------
+# resumable weightmap build
+# ---------------------------------------------------------------------------
+
+def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
+                          checkpoint: str, n_buckets: int = 16,
+                          weights_pdf=None, _fail_after=None):
+    """Build the weightmap in cell-bucket units, checkpointing each bucket's
+    overlap rows + a manifest entry atomically.  On restart, completed
+    buckets load from parquet; only pending buckets recompute.
+
+    Bucket = pix_idx % n_buckets: purely data-derived, so the same pixel
+    lands in the same bucket at any parallelism (determinism rule).
+    `_fail_after` kills the job after k buckets (test hook for the
+    kill/resume scenario).
+
+    Returns (WeightMap, n_buckets_computed_this_run).
+    """
+    from ..operators.overlaps import WeightMap, pixel_geometry, pixel_overlaps
+
+    os.makedirs(checkpoint, exist_ok=True)
+    state_path = os.path.join(checkpoint, "_buckets.json")
+    state = {"done": [], "poly_digest": _poly_digest(polys)}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            prev = json.load(f)
+        if prev.get("poly_digest") == state["poly_digest"]:
+            state = prev
+
+    pixels_all = pixel_geometry(spark, grid, weights_pdf=weights_pdf)
+    # assign every pixel its bucket from the center-cell id (same id the
+    # overlap join uses)
+    computed = 0
+    for b in range(n_buckets):
+        key = str(b)
+        part = os.path.join(checkpoint, f"bucket={b}")
+        if key in state["done"] and os.path.exists(os.path.join(part, "_SUCCESS")):
+            continue
+        if _fail_after is not None and computed >= _fail_after:
+            raise RuntimeError(f"simulated failure after {computed} buckets")
+        pix_b = pixels_all.filter(F.pmod(F.col("pix_idx"), F.lit(n_buckets)) == b)
+        from ..operators.overlaps import NoOverlapError
+        try:
+            wm_b = pixel_overlaps(spark, grid, polys, weights_pdf=None,
+                                  pixels=pix_b, raw_areas=True)
+            wm_b.overlaps.write.mode("overwrite").parquet(part)
+            wm_b.overlaps.unpersist()
+        except NoOverlapError:
+            # bucket with no overlaps: write an empty marker partition
+            empty = spark.createDataFrame(
+                pd.DataFrame({"poly_idx": pd.Series(dtype="int64"),
+                              "pix_idx": pd.Series(dtype="int64"),
+                              "lat": pd.Series(dtype="float64"),
+                              "lon": pd.Series(dtype="float64"),
+                              "area": pd.Series(dtype="float64")}))
+            empty.write.mode("overwrite").parquet(part)
+        state["done"].append(key)
+        computed += 1
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)
+
+    # stitch: buckets hold RAW clip areas; normalize globally per polygon
+    # (exact A1 semantics — identical to the non-resumable path)
+    parts = [os.path.join(checkpoint, f"bucket={b}") for b in range(n_buckets)]
+    dfs = spark.read.parquet(*[p for p in parts if os.path.exists(os.path.join(p, "_SUCCESS"))])
+    if dfs.limit(1).count() == 0:
+        from ..operators.overlaps import NoOverlapError
+        raise NoOverlapError("no overlaps in any bucket")
+    from pyspark.sql import Window
+    w = Window.partitionBy("poly_idx")
+    overlaps = (dfs.withColumn("rel_area", F.col("area") / F.sum("area").over(w))
+                   .drop("area"))
+    epsg = polys.pick_epsg()
+    return WeightMap(overlaps=overlaps.persist(), polys=polys, grid=grid,
+                     epsg=epsg, has_weights=weights_pdf is not None), computed

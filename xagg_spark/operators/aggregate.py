@@ -63,15 +63,20 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     # join masks onto the (small) overlap table, then normalize weights per
     # polygon over valid pixels: w_hat = w / sum_{valid} w, NaN when the
     # valid-sum is 0 (normalize() all-zero guard, auxfuncs.py:46-49)
-    ov = over.join(masks, "pix_idx")
+    # persist: ov feeds both the denominator pass and the value join, and
+    # recomputing it would re-run the upstream decode/refine lineage
+    ov = over.join(masks, "pix_idx").persist()
     grp = ["poly_idx"] + (["var"] if "var" in dims else [])
-    w_win = Window.partitionBy(*grp)
     w_raw = F.col("rel_area") * F.col("weight")
     valid_w = F.when(~F.col("all_nan") & _finite(w_raw), w_raw)
-    ov = (ov
+    # per-(poly[,var]) denominators via groupBy (map-side partials), then
+    # broadcast back — a window partitioned by poly_idx would concentrate a
+    # domain-scale polygon's rows in one task
+    stats = (ov.groupBy(*grp)
+               .agg(F.sum(valid_w).alias("_denom"),
+                    F.count(valid_w).alias("_n_valid")))
+    ov = (ov.join(F.broadcast(stats), grp)
           .withColumn("_w", w_raw)
-          .withColumn("_denom", F.sum(valid_w).over(w_win))
-          .withColumn("_n_valid", F.count(valid_w).over(w_win))
           .withColumn(
               "w_hat",
               F.when(F.col("all_nan") | (F.col("_denom") == 0.0), _nan())

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary + metadata.
+
+The Spark-side machinery (schemas, Arrow batching, partitioning, UDF
+signatures) is real and tested; decoders for formats that need external
+libraries (libjpeg, ffmpeg, ...) are STUBBED behind NotImplementedError —
+this container has no image/audio libs (see codecs.image for the formats
+implemented from scratch: raw32 / png / q8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DoubleType,
+                               FloatType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..codecs import decode_tile, phash64, psnr
+
+FEATURE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("h", IntegerType()), StructField("w", IntegerType()),
+    StructField("mean", DoubleType()), StructField("std", DoubleType()),
+    StructField("p_nan", DoubleType()),
+    StructField("phash", LongType()),
+    StructField("hist", ArrayType(FloatType())),
+])
+
+
+def image_features(df_images: DataFrame, bins: int = 16) -> DataFrame:
+    """Decode + per-tile feature extraction in one Arrow-batched pass:
+    mean/std/NaN-fraction/phash/histogram.  Unsupported fmts raise."""
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                           pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = decode_tile(buf, fmt, int(w), int(h))
+                finite = arr[np.isfinite(arr)]
+                lo = float(finite.min()) if finite.size else 0.0
+                hi = float(finite.max()) if finite.size else 1.0
+                hist = np.histogram(finite, bins=bins, range=(lo, hi or 1.0))[0]
+                hist = (hist / max(finite.size, 1)).astype(np.float32)
+                rows.append((iid, int(h), int(w),
+                             float(finite.mean()) if finite.size else float("nan"),
+                             float(finite.std()) if finite.size else float("nan"),
+                             1.0 - finite.size / arr.size,
+                             phash64(arr), hist.tolist()))
+            yield pd.DataFrame(rows, columns=["image_id", "h", "w", "mean",
+                                              "std", "p_nan", "phash", "hist"])
+
+    return df_images.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()), StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+])
+
+
+def image_resize(df_images: DataFrame, out_h: int, out_w: int,
+                 out_fmt: str = "raw32") -> DataFrame:
+    """Block-mean downsample (pure numpy) -> re-encode.  The Spark plumbing
+    (binary in/out, Arrow batches) is the real product; swap the kernel for
+    a PIL/opencv call when those libs exist."""
+    from ..codecs import encode_tile
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                           pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = decode_tile(buf, fmt, int(w), int(h))
+                ys = np.linspace(0, arr.shape[0], out_h + 1).astype(int)
+                xs = np.linspace(0, arr.shape[1], out_w + 1).astype(int)
+                out = np.empty((out_h, out_w), dtype=np.float32)
+                for i in range(out_h):
+                    for j in range(out_w):
+                        blk = arr[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                  xs[j]:max(xs[j + 1], xs[j] + 1)]
+                        out[i, j] = np.nanmean(blk) if np.isfinite(blk).any() else np.nan
+                rows.append((iid, encode_tile(out, out_fmt), out_w, out_h, out_fmt))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return df_images.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def decode_audio(df: DataFrame, **kw):
+    """STUB: audio decode requires libsndfile/ffmpeg (absent here).  The
+    table contract is (clip_id string, bytes binary, sample_rate int,
+    n_samples long, fmt string) -> mapInPandas to (clip_id, samples
+    array<float>)."""
+    raise NotImplementedError("audio decoding requires libsndfile/ffmpeg, "
+                              "not available in this environment")
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30, **kw):
+    """STUB: video frame sampling requires ffmpeg (absent here).  Contract:
+    (video_id, bytes, fps, n_frames, fmt) -> (video_id, frame_no, bytes)."""
+    raise NotImplementedError("video decoding requires ffmpeg, "
+                              "not available in this environment")
+
+
+def psnr_check(df_images: DataFrame, grid, reference_fn,
+               gate_db: float | None = None) -> DataFrame:
+    """input_hint invariant: decoded-pixel PSNR vs the analytic reference
+    per tile (>= 40 dB for lossy formats).  reference_fn(iy, ix, t, var_salt)
+    -> expected array."""
+    from ..grid import GridSpec
+    from ..options import get_options
+    gate = gate_db or get_options()["psnr_gate_db"]
+    gd = grid.to_dict()
+
+    schema = StructType([StructField("image_id", StringType()),
+                         StructField("psnr_db", DoubleType()),
+                         StructField("passed", BooleanType())])
+
+    def check(batches):
+        g = GridSpec.from_dict(gd)
+        for pdf in batches:
+            rows = []
+            for iid, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                           pdf["w"], pdf["h"], pdf["fmt"]):
+                parts = iid.split("_")
+                tx, ty, t = int(parts[-1]), int(parts[-2]), int(parts[-3])
+                arr = decode_tile(buf, fmt, int(w), int(h))
+                iy, ix = g.tile_pixel_indices(ty, tx)
+                want = reference_fn(ix, iy, t, 0)
+                p = psnr(want, arr)
+                rows.append((iid, p, bool(p >= gate)))
+            yield pd.DataFrame(rows, columns=["image_id", "psnr_db", "passed"])
+
+    return df_images.mapInPandas(check, schema)

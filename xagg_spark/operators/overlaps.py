@@ -52,6 +52,17 @@ class NoOverlapError(Exception):
     """Same error contract as /root/reference/xagg/core.py:25-27, 499-500."""
 
 
+def _grid_wraps(grid) -> bool:
+    """True when any pixel's lon bounds wrap (lon0 > lon1) — decided on the
+    driver from the axes so the no-wrap fast path skips a whole shuffle."""
+    from ..grid import AxesGrid, GridSpec
+    if isinstance(grid, GridSpec):
+        axes = AxesGrid(grid.lat_axis(), grid.lon_axis()).with_bounds()
+    else:
+        axes = grid.with_bounds()
+    return bool((axes.lon_bnds[:, 0] > axes.lon_bnds[:, 1]).any())
+
+
 # ---------------------------------------------------------------------------
 # pixel geometry
 # ---------------------------------------------------------------------------
@@ -271,7 +282,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                    res: int | None = None,
                    subset_bbox: bool = True,
                    salt: int = 0,
-                   pixels: DataFrame | None = None) -> WeightMap:
+                   pixels: DataFrame | None = None,
+                   raw_areas: bool = False) -> WeightMap:
     """Build the weightmap (facade, reference wrappers.py:10-104).
 
     grid: GridSpec or AxesGrid.  polys: PolygonSet.  weights_pdf: optional
@@ -311,20 +323,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     if cell_deg < pixel_deg:
         res = _cells.pick_resolution(pixel_deg)
         cell_deg = 360.0 / (1 << res)
-    cover = polys.cell_cover(res)
     n = 1 << res
-    dil = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            c = cover.copy()
-            cid = c.cell_id.to_numpy().astype(np.int64)
-            ix = (cid >> 29) & ((1 << 29) - 1)
-            iy = cid & ((1 << 29) - 1)
-            nix = (ix + dx) % n
-            niy = np.clip(iy + dy, 0, n - 1)
-            c["cell_id"] = _cells.cell_id(res, nix, niy)
-            dil.append(c)
-    cover = pd.concat(dil).drop_duplicates().reset_index(drop=True)
+    cover = polys.cell_cover(res, dilate=True)
     if len(cover) == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
@@ -366,14 +366,28 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     aggs = [F.sum("area").alias("area")]
     if has_w:
         aggs.append(F.first("weight").alias("weight"))
-    summed = refined.groupBy("poly_idx", "pix_idx", "lat", "lon").agg(*aggs)
-    from pyspark.sql import Window
-    w = Window.partitionBy("poly_idx")
-    overlaps = (summed
-                .withColumn("rel_area", F.col("area") / F.sum("area").over(w))
-                .drop("area"))
+    # the (poly,pixel) area sum is only needed when antimeridian halves can
+    # exist — detected statically from the axis bounds (no extra Spark job)
+    if _grid_wraps(grid):
+        summed = refined.groupBy("poly_idx", "pix_idx", "lat", "lon").agg(*aggs)
+    else:
+        summed = refined
+    if raw_areas:
+        # checkpoint/resume path: keep raw clip areas so partial results
+        # from different buckets can be normalized globally at stitch time
+        overlaps = summed.persist()
+    else:
+        # A1 normalization WITHOUT a window: a window partitioned by
+        # poly_idx would put a domain-scale polygon's millions of rows in
+        # one partition.  Persist the refined table (it feeds two passes),
+        # aggregate tiny per-polygon totals with map-side partials, and
+        # broadcast them back.
+        summed = summed.persist()
+        totals = summed.groupBy("poly_idx").agg(F.sum("area").alias("_tot"))
+        overlaps = (summed.join(F.broadcast(totals), "poly_idx")
+                          .withColumn("rel_area", F.col("area") / F.col("_tot"))
+                          .drop("area", "_tot"))
 
-    overlaps = overlaps.persist()
     if overlaps.limit(1).count() == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")

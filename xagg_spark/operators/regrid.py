@@ -1,0 +1,131 @@
+"""process_weights: align an additional weight grid to the data grid.
+
+Reference: /root/reference/xagg/core.py:101-234.
+- same grid (within np.allclose): snap coordinates, use directly (R1);
+- different grid: conservative regrid (R2) — which is exactly the engine's
+  own overlap join applied grid->grid:
+      w_dst = sum_src w_src * area(src ∩ dst) / sum_src area(src ∩ dst)
+  (xESMF 'conservative' semantics with NaN->0 first, core.py:163-168);
+- 'bilinear' option: 4-neighbor inverse-distance in lat/lon (documented
+  engine approximation of the xESMF bilinear path);
+- target='weights' (reverse regrid): NotImplementedError, reference parity
+  (core.py:206-207).
+
+Weight grids are small relative to the pixel table (they're per-pixel
+scalars, not per-time payloads), so this runs as driver-side numpy: the
+output is the (pix_idx, weight) pandas frame that pixel_overlaps broadcasts.
+A fully-distributed variant would reuse pixel_overlaps on the weight grid's
+pixels; not needed until weight grids approach the fact-table scale.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+
+from ..geo.clip import rect_rect_overlap_area_cea
+from ..grid import AxesGrid, GridSpec
+
+
+def _axes(grid) -> AxesGrid:
+    if isinstance(grid, GridSpec):
+        return AxesGrid(grid.lat_axis(), grid.lon_axis()).with_bounds()
+    return grid.with_bounds()
+
+
+def process_weights(data_grid, weights: np.ndarray, w_lat: np.ndarray,
+                    w_lon: np.ndarray, target: str = "ds",
+                    rgrd_alg: str | None = None,
+                    nan_to_zero: bool | None = None) -> pd.DataFrame:
+    """Returns (pix_idx, weight) on the data grid.
+
+    weights: 2-D array (lat, lon) on the weight grid (w_lat, w_lon)."""
+    from ..options import get_options
+    if target == "weights":
+        raise NotImplementedError(
+            "target='weights' (regridding ds to the weights grid) is not "
+            "supported (reference parity: /root/reference/xagg/core.py:206-207)")
+    if target != "ds":
+        raise ValueError(f"unknown target {target!r}")
+    rgrd_alg = rgrd_alg or get_options()["rgrd_alg"]
+    if nan_to_zero is None:
+        nan_to_zero = get_options()["nan_to_zero_regridding"]
+
+    d = _axes(data_grid)
+    weights = np.asarray(weights, dtype=np.float64)
+    w_lat = np.asarray(w_lat, dtype=np.float64)
+    w_lon = np.asarray(w_lon, dtype=np.float64)
+
+    same = (len(w_lat) == d.nlat and len(w_lon) == d.nlon
+            and np.allclose(w_lat, d.lat) and np.allclose(w_lon, d.lon))
+    if same:
+        # R1 fast path: snap coords (core.py:171-174, 218-222)
+        w = np.nan_to_num(weights, nan=0.0)
+        iy, ix = np.meshgrid(np.arange(d.nlat), np.arange(d.nlon), indexing="ij")
+        return pd.DataFrame({"pix_idx": (iy * d.nlon + ix).ravel(),
+                             "weight": w.ravel()})
+
+    # coverage warning (core.py:185-196)
+    if (w_lat.min() > d.lat.min() or w_lat.max() < d.lat.max()
+            or w_lon.min() > d.lon.min() or w_lon.max() < d.lon.max()):
+        warnings.warn("weights grid does not cover the whole data grid; "
+                      "weights will be 0 outside its extent")
+
+    if nan_to_zero:
+        weights = np.nan_to_num(weights, nan=0.0)
+
+    wg = AxesGrid(w_lat, w_lon).with_bounds()
+    if rgrd_alg == "conservative":
+        out = _conservative(d, wg, weights)
+    elif rgrd_alg == "bilinear":
+        out = _bilinear(d, wg, weights)
+    else:
+        raise ValueError(f"unknown rgrd_alg {rgrd_alg!r}")
+    iy, ix = np.meshgrid(np.arange(d.nlat), np.arange(d.nlon), indexing="ij")
+    return pd.DataFrame({"pix_idx": (iy * d.nlon + ix).ravel(),
+                         "weight": out.ravel()})
+
+
+def _conservative(d: AxesGrid, w: AxesGrid, weights: np.ndarray) -> np.ndarray:
+    """Exact area-overlap regrid via the same closed-form CEA rect-rect
+    area the refine UDF uses: w_dst = sum w_src*A(src∩dst) / sum A(src∩dst)."""
+    out = np.zeros((d.nlat, d.nlon))
+    for iy in range(d.nlat):
+        dl0, dl1 = d.lat_bnds[iy]
+        # source lat rows overlapping this destination row
+        ys = np.where((w.lat_bnds[:, 1] > dl0) & (w.lat_bnds[:, 0] < dl1))[0]
+        for ix in range(d.nlon):
+            do0, do1 = d.lon_bnds[ix]
+            xs = np.where((w.lon_bnds[:, 1] > do0) & (w.lon_bnds[:, 0] < do1))[0]
+            if len(ys) == 0 or len(xs) == 0:
+                continue
+            gy, gx = np.meshgrid(ys, xs, indexing="ij")
+            a = rect_rect_overlap_area_cea(
+                w.lon_bnds[gx, 0], w.lat_bnds[gy, 0],
+                w.lon_bnds[gx, 1], w.lat_bnds[gy, 1],
+                do0, dl0, do1, dl1)
+            tot = a.sum()
+            if tot > 0:
+                out[iy, ix] = float((weights[gy, gx] * a).sum() / tot)
+    return out
+
+
+def _bilinear(d: AxesGrid, w: AxesGrid, weights: np.ndarray) -> np.ndarray:
+    """Separable 1-D linear interpolation on pixel centers (clamped)."""
+    def interp_axis(src, dst):
+        i1 = np.searchsorted(src, dst)
+        i0 = np.clip(i1 - 1, 0, len(src) - 1)
+        i1 = np.clip(i1, 0, len(src) - 1)
+        denom = src[i1] - src[i0]
+        t = np.where(denom > 0, (dst - src[i0]) / np.where(denom == 0, 1, denom), 0.0)
+        return i0, i1, np.clip(t, 0.0, 1.0)
+
+    y0, y1, ty = interp_axis(w.lat, d.lat)
+    x0, x1, tx = interp_axis(w.lon, d.lon)
+    out = np.zeros((d.nlat, d.nlon))
+    for iy in range(d.nlat):
+        row0 = weights[y0[iy]] * (1 - ty[iy]) + weights[y1[iy]] * ty[iy]
+        out[iy] = row0[x0] * (1 - tx) + row0[x1] * tx
+    return out

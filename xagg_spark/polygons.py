@@ -69,15 +69,18 @@ class PolygonSet:
             out[i] = prj
         return out
 
-    def cell_cover(self, res: int) -> pd.DataFrame:
-        """(poly_idx, cell_id) cover rows for the broadcast prefilter."""
-        pi, ci = [], []
+    def cell_cover(self, res: int, dilate: bool = False) -> pd.DataFrame:
+        """(poly_idx, cell_id) cover rows for the broadcast prefilter.
+        dilate=True adds the 1-cell safety ring needed by center-cell pixel
+        assignment (see operators.overlaps)."""
+        pi_parts, ci_parts = [], []
         for i, poly in enumerate(self.rings):
             ids = []
             for r in poly:
-                ids.append(_cells.cover_polygon(r[:, 0], r[:, 1], res))
+                ids.append(_cells.cover_polygon(r[:, 0], r[:, 1], res, dilate=dilate))
             ids = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
-            pi.extend([i] * len(ids))
-            ci.extend(ids.tolist())
-        return pd.DataFrame({"poly_idx": np.asarray(pi, dtype=np.int64),
-                             "cell_id": np.asarray(ci, dtype=np.int64)})
+            pi_parts.append(np.full(len(ids), i, dtype=np.int64))
+            ci_parts.append(ids)
+        return pd.DataFrame({
+            "poly_idx": np.concatenate(pi_parts) if pi_parts else np.zeros(0, np.int64),
+            "cell_id": np.concatenate(ci_parts) if ci_parts else np.zeros(0, np.int64)})
