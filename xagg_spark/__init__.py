@@ -14,6 +14,9 @@ from .polygons import PolygonSet, rect_ring
 from .operators import (NoOverlapError, WeightMap, aggregate, pixel_geometry,
                         pixel_overlaps, tiles_to_pixels)
 from .io import read_wm, resume_pixel_overlaps, save_weightmap
+from .io.sinks import AggResult
+from .operators.regrid import process_weights
+from .operators.subset import SomeNanWarning, subset_find, warn_if_partial_nan
 from .geo.bounds import synth_bounds as get_bnds
 from .geo.bounds import wrap_lon
 
@@ -23,7 +26,8 @@ __all__ = [
     "AxesGrid", "GridSpec", "PolygonSet", "rect_ring",
     "NoOverlapError", "WeightMap",
     "pixel_overlaps", "aggregate", "pixel_geometry", "tiles_to_pixels",
-    "read_wm", "save_weightmap", "resume_pixel_overlaps",
+    "read_wm", "save_weightmap", "resume_pixel_overlaps", "AggResult",
+    "process_weights", "subset_find", "warn_if_partial_nan", "SomeNanWarning",
     "get_options", "set_options", "option_context",
     "get_bnds", "wrap_lon",
 ]

@@ -108,7 +108,7 @@ def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int,
     P = GX.ravel()[:, None], GY.ravel()[:, None]
     px, py = P
     crossing = np.zeros(px.shape[0], dtype=np.int64)
-    CH = 1 << 20
+    CH = max(1024, (1 << 23) // max(len(lons), 1))
     for s in range(0, px.shape[0], CH):
         e = min(s + CH, px.shape[0])
         ya, yb = ey0[None, :], ey1[None, :]
@@ -150,12 +150,7 @@ def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int,
         # 1-ring dilation on the boolean grid (pad, then 8-neighbor OR):
         # guarantees a pixel assigned to its CENTER cell is never missed
         # when cell size >= pixel size (pixel pokes <= half a cell out)
-        pad = np.zeros((nx + 2, ny + 2), dtype=bool)
-        pad[1:-1, 1:-1] = mark
-        d = pad.copy()
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                d |= np.roll(np.roll(pad, dx, axis=0), dy, axis=1)
+        d = _dilate1(mark)
         kx, ky = np.nonzero(d)
         kx, ky = kx - 1 + x0, ky - 1 + y0
         ok = (ky >= 0) & (ky < n)
@@ -167,3 +162,106 @@ def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int,
     if len(kx) == 0:
         return np.zeros(0, dtype=np.int64)
     return np.unique(cell_id(res, (kx + x0) % n, ky + y0))
+
+
+def _dilate1(mark: np.ndarray) -> np.ndarray:
+    """8-neighbor dilation with 1-cell padding; output is padded by 1."""
+    nx, ny = mark.shape
+    pad = np.zeros((nx + 2, ny + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mark
+    d = pad.copy()
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            d |= np.roll(np.roll(pad, dx, axis=0), dy, axis=1)
+    return d
+
+
+def _erode1(mark: np.ndarray) -> np.ndarray:
+    """8-neighbor erosion (True only where the full 3x3 block is True)."""
+    nx, ny = mark.shape
+    pad = np.zeros((nx + 2, ny + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mark
+    e = pad.copy()
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            e &= np.roll(np.roll(pad, dx, axis=0), dy, axis=1)
+    return e[1:-1, 1:-1]
+
+
+def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int):
+    """Dilated cover + 'safe interior' classification.
+
+    Returns (cell_ids int64[], full bool[]).  A cell is FULL iff it and all
+    8 neighbors have centers inside the ring and no ring edge passes through
+    them — then any pixel whose center falls in the cell (pixel <= cell
+    size) lies entirely inside the polygon, so its overlap is the whole
+    pixel, computable in closed form JVM-side with no clipping.
+    """
+    # reuse cover_polygon's marking by re-running its vectorized core
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    lon0, lon1 = float(np.min(lons)), float(np.max(lons))
+    lat0, lat1 = float(np.min(lats)), float(np.max(lats))
+    x0, x1 = cell_range(lon0, lon1, res, True)
+    y0, y1 = cell_range(lat0, lat1, res, False)
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+
+    cx = -180.0 + (np.arange(x0, x1 + 1) + 0.5) * cw
+    cy = -90.0 + (np.arange(y0, y1 + 1) + 0.5) * ch
+    GX, GY = np.meshgrid(cx, cy, indexing="ij")
+    ex0, ey0 = lons, lats
+    ex1, ey1 = np.roll(lons, -1), np.roll(lats, -1)
+    px = GX.ravel()[:, None]
+    py = GY.ravel()[:, None]
+    crossing = np.zeros(px.shape[0], dtype=np.int64)
+    CHK = max(1024, (1 << 23) // max(len(lons), 1))
+    for s in range(0, px.shape[0], CHK):
+        e = min(s + CHK, px.shape[0])
+        ya, yb = ey0[None, :], ey1[None, :]
+        xa, xb = ex0[None, :], ex1[None, :]
+        cross = (ya > py[s:e]) != (yb > py[s:e])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = xa + (py[s:e] - ya) * (xb - xa) / (yb - ya)
+        crossing[s:e] = (cross & (xi > px[s:e])).sum(axis=1)
+    inside = (crossing % 2).astype(bool).reshape(nx, ny)
+
+    # edge rasterization (same as cover_polygon)
+    edge = np.zeros((nx, ny), dtype=bool)
+    for k in range(len(lons)):
+        ax, ay, bx, by = ex0[k], ey0[k], ex1[k], ey1[k]
+        gx0 = int(np.floor((min(ax, bx) + 180.0) / cw))
+        gx1 = int(np.floor((max(ax, bx) + 180.0) / cw))
+        for gx in range(max(gx0, x0), min(gx1, x1) + 1):
+            cxa = -180.0 + gx * cw
+            cxb = cxa + cw
+            if ax == bx:
+                ylo, yhi = min(ay, by), max(ay, by)
+            else:
+                t0 = np.clip((cxa - ax) / (bx - ax), 0.0, 1.0)
+                t1 = np.clip((cxb - ax) / (bx - ax), 0.0, 1.0)
+                ya_ = ay + t0 * (by - ay)
+                yb_ = ay + t1 * (by - ay)
+                ylo, yhi = min(ya_, yb_), max(ya_, yb_)
+            gy0 = max(int(np.floor((ylo + 90.0) / ch)), y0)
+            gy1 = min(int(np.floor((yhi + 90.0) / ch)), y1)
+            if gy1 >= gy0:
+                edge[gx - x0, gy0 - y0:gy1 - y0 + 1] = True
+
+    mark = inside | edge
+    cover = _dilate1(mark)                       # padded (+1)
+    fully_inside = inside & ~edge
+    safe = _erode1(fully_inside)                 # unpadded
+    safe_pad = np.zeros_like(cover)
+    safe_pad[1:-1, 1:-1] = safe
+
+    kx, ky = np.nonzero(cover)
+    full = safe_pad[kx, ky]
+    kx, ky = kx - 1 + x0, ky - 1 + y0
+    ok = (ky >= 0) & (ky < n)
+    kx, ky, full = kx[ok] % n, ky[ok], full[ok]
+    ids = cell_id(res, kx, ky)
+    order = np.argsort(ids, kind="stable")
+    ids, full = ids[order], full[order]
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    return ids[keep], full[keep]

@@ -80,6 +80,61 @@ def forward(lon_deg, lat_deg, epsg: int):
     raise ValueError(f"unsupported EPSG:{epsg}")
 
 
+# authalic-latitude inverse table for q^{-1} (0.01-degree grid; inverse
+# interpolation error ~1e-7 deg, far inside the cover's 1-cell margins)
+_LAT_TAB = np.linspace(-90.0, 90.0, 18001)
+_Q_TAB = q_auth(np.deg2rad(_LAT_TAB))
+
+
+def _q_inv(q):
+    return np.interp(q, _Q_TAB, _LAT_TAB)
+
+
+def inverse(x, y, epsg: int):
+    """Inverse projection (meters -> lon/lat degrees), Snyder formulas with
+    the authalic-latitude inverse via table interpolation.  Used only for
+    conservative ring densification (cover/classification), never for the
+    exact refine numerics."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if epsg == EPSG_GLOBAL:
+        lon = np.rad2deg(x / (A * K0))
+        q = y * (2.0 * K0) / A
+        return lon, _q_inv(q)
+    if epsg in (EPSG_NORTH, EPSG_SOUTH):
+        rho = np.hypot(x, y)
+        q = QP - (rho / A) ** 2 if epsg == EPSG_NORTH else (rho / A) ** 2 - QP
+        lat = _q_inv(q)
+        lon = np.rad2deg(np.arctan2(x, -y if epsg == EPSG_NORTH else y))
+        return lon, lat
+    raise ValueError(f"unsupported EPSG:{epsg}")
+
+
+def densify_ring(ring: np.ndarray, epsg: int, max_seg_deg: float = 0.25) -> np.ndarray:
+    """Subdivide ring edges IN PROJECTED SPACE and map the midpoints back to
+    lon/lat.  The true polygon geometry (GEOS parity) has straight edges in
+    the projected CRS; a long edge maps to a CURVE in lon/lat that can
+    deviate ~1 degree from the lon/lat chord.  Cover and interior/boundary
+    classification must follow the projected-straight curve, so they run on
+    this densified ring; the refine UDF keeps the original vertices."""
+    ring = np.asarray(ring, dtype=np.float64)
+    x, y = forward(ring[:, 0], ring[:, 1], epsg)
+    out = []
+    m = len(ring)
+    for i in range(m):
+        j = (i + 1) % m
+        span = max(abs(ring[j, 0] - ring[i, 0]), abs(ring[j, 1] - ring[i, 1]))
+        k = max(int(np.ceil(span / max_seg_deg)), 1)
+        t = np.arange(k) / k
+        xs = x[i] + t * (x[j] - x[i])
+        ys = y[i] + t * (y[j] - y[i])
+        lon, lat = inverse(xs, ys, epsg)
+        # keep the EXACT original vertex (inverse is approximate)
+        lon[0], lat[0] = ring[i, 0], ring[i, 1]
+        out.append(np.stack([lon, lat], axis=1))
+    return np.concatenate(out, axis=0)
+
+
 def cea_band_area(lat0_deg, lat1_deg, lon0_deg, lon1_deg):
     """Exact EPSG:6933 planar area of a lat/lon-aligned rectangle.
 

@@ -103,10 +103,13 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
            .drop("_s", "_nv"))
 
     # outer merge onto polygon attrs (reference J3, core.py:533-538): keep
-    # zero-overlap polygons with NaN values for every dim combination
+    # zero-overlap polygons with NaN values for every dim combination.
+    # dim_space comes from the (tiny) result, not from another full scan of
+    # the fact table.
     spark = pix_values.sparkSession
     attrs = spark.createDataFrame(wm.polys.attrs)
-    dim_space = pix_values.select(*dims).distinct()
+    res = res.persist()
+    dim_space = res.select(*dims).distinct()
     full = F.broadcast(attrs).crossJoin(F.broadcast(dim_space))
     out = (full.join(res, on=["poly_idx"] + dims, how="left")
                .withColumn(value_col,

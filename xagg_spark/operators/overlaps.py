@@ -104,6 +104,24 @@ def pixel_geometry(spark: SparkSession, grid, num_partitions: int | None = None,
     return out
 
 
+def _cea_pixel_area_cols():
+    """Closed-form EPSG:6933 pixel area from (lat0, lat1, lon0, lon1)
+    columns — same Snyder math as geo.ellipsoid, as JVM column expressions
+    (whole-stage codegen; no Python)."""
+    e2, e, a, k0 = _ell.E2, float(_ell.E), _ell.A, float(_ell.K0)
+
+    def q(lat):
+        s = F.sin(F.radians(lat))
+        return F.lit(1.0 - e2) * (
+            s / (F.lit(1.0) - F.lit(e2) * s * s)
+            - F.lit(1.0 / (2.0 * e))
+            * F.log((F.lit(1.0) - F.lit(e) * s) / (F.lit(1.0) + F.lit(e) * s)))
+
+    dx = F.lit(a * k0) * (F.radians(F.col("lon1")) - F.radians(F.col("lon0")))
+    dy = F.lit(a) * (q(F.col("lat1")) - q(F.col("lat0"))) / F.lit(2.0 * k0)
+    return dx * dy
+
+
 # ---------------------------------------------------------------------------
 # refine UDF
 # ---------------------------------------------------------------------------
@@ -305,7 +323,12 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         res = _cells.pick_resolution(pixel_deg)
 
     if pixels is None:
-        pixels = pixel_geometry(spark, grid, weights_pdf=weights_pdf)
+        # finer-than-core-count tasks: the candidate load per pixel range is
+        # geographically uneven (polygon-dense bands produce more refine
+        # work), so 4x parallelism partitions keep stragglers short
+        nparts = 4 * spark.sparkContext.defaultParallelism
+        pixels = pixel_geometry(spark, grid, weights_pdf=weights_pdf,
+                                num_partitions=nparts)
 
     # P2 bbox prefilter: pure predicate -> Catalyst pushes it into the scan
     if subset_bbox:
@@ -324,7 +347,7 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         res = _cells.pick_resolution(pixel_deg)
         cell_deg = 360.0 / (1 << res)
     n = 1 << res
-    cover = polys.cell_cover(res, dilate=True)
+    cover = polys.cell_cover_classified(res)
     if len(cover) == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
@@ -360,7 +383,22 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     cols = ["poly_idx", "pix_idx", "lat", "lon", "lat0", "lat1", "lon0", "lon1"]
     if has_w:
         cols.append("weight")
-    refined = cand.select(*cols).mapInPandas(_refine_factory(rings_by_poly, epsg), schema)
+
+    if epsg == _ell.EPSG_GLOBAL:
+        # FULL-cell candidates (pixel provably inside the polygon): overlap
+        # = whole-pixel area, closed form, whole-stage-codegen JVM — never
+        # crosses into Python.  Only boundary-cell candidates hit the UDF.
+        out_cols = ["poly_idx", "pix_idx", "lat", "lon",
+                    _cea_pixel_area_cols().alias("area")] \
+            + ([F.col("weight")] if has_w else [])
+        full_part = cand.filter(F.col("full")).select(*out_cols)
+        edge_cand = cand.filter(~F.col("full"))
+        refined_edge = edge_cand.select(*cols).mapInPandas(
+            _refine_factory(rings_by_poly, epsg), schema)
+        refined = full_part.unionByName(refined_edge)
+    else:
+        refined = cand.select(*cols).mapInPandas(
+            _refine_factory(rings_by_poly, epsg), schema)
 
     # antimeridian halves add up; then window-normalize per polygon (A1)
     aggs = [F.sum("area").alias("area")]

@@ -69,12 +69,28 @@ class PolygonSet:
             out[i] = prj
         return out
 
+    def _dense_rings(self, res: int):
+        """Rings densified along PROJECTED-straight edges (the true GEOS
+        geometry) for cover/classification; cached per (epsg, res)."""
+        epsg = self.pick_epsg()
+        cell_deg = 360.0 / (1 << res)
+        key = (epsg, res)
+        cache = getattr(self, "_dense_cache", None)
+        if cache is None:
+            cache = self._dense_cache = {}
+        if key not in cache:
+            seg = max(cell_deg / 4.0, 0.01)
+            cache[key] = [[_ell.densify_ring(r, epsg, seg) for r in poly]
+                          for poly in self.rings]
+        return cache[key]
+
     def cell_cover(self, res: int, dilate: bool = False) -> pd.DataFrame:
         """(poly_idx, cell_id) cover rows for the broadcast prefilter.
         dilate=True adds the 1-cell safety ring needed by center-cell pixel
         assignment (see operators.overlaps)."""
+        dense = self._dense_rings(res)
         pi_parts, ci_parts = [], []
-        for i, poly in enumerate(self.rings):
+        for i, poly in enumerate(dense):
             ids = []
             for r in poly:
                 ids.append(_cells.cover_polygon(r[:, 0], r[:, 1], res, dilate=dilate))
@@ -84,3 +100,37 @@ class PolygonSet:
         return pd.DataFrame({
             "poly_idx": np.concatenate(pi_parts) if pi_parts else np.zeros(0, np.int64),
             "cell_id": np.concatenate(ci_parts) if ci_parts else np.zeros(0, np.int64)})
+
+    def cell_cover_classified(self, res: int) -> pd.DataFrame:
+        """(poly_idx, cell_id, full) — dilated cover with the safe-interior
+        flag: pixels centered in a FULL cell lie entirely inside the
+        polygon, so their overlap area needs no clipping (JVM fast path).
+        For MultiPolygons full = full in ANY disjoint part."""
+        dense = self._dense_rings(res)
+        pi_parts, ci_parts, fu_parts = [], [], []
+        for i, poly in enumerate(dense):
+            parts = [_cells.cover_polygon_classified(r[:, 0], r[:, 1], res)
+                     for r in poly]
+            parts = [(ids, full) for ids, full in parts if len(ids)]
+            if not parts:
+                continue
+            if len(parts) == 1:
+                ids, full = parts[0]
+            else:
+                allids = np.concatenate([p[0] for p in parts])
+                allfull = np.concatenate([p[1] for p in parts])
+                order = np.argsort(allids, kind="stable")
+                allids, allfull = allids[order], allfull[order]
+                ids, inv = np.unique(allids, return_inverse=True)
+                full = np.zeros(len(ids), dtype=bool)
+                np.maximum.at(full, inv, allfull)
+            pi_parts.append(np.full(len(ids), i, dtype=np.int64))
+            ci_parts.append(ids)
+            fu_parts.append(full)
+        if not pi_parts:
+            return pd.DataFrame({"poly_idx": np.zeros(0, np.int64),
+                                 "cell_id": np.zeros(0, np.int64),
+                                 "full": np.zeros(0, bool)})
+        return pd.DataFrame({"poly_idx": np.concatenate(pi_parts),
+                             "cell_id": np.concatenate(ci_parts),
+                             "full": np.concatenate(fu_parts)})

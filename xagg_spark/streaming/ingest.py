@@ -1,0 +1,63 @@
+"""Structured Streaming ingest for image-tile tables.
+
+The reference is batch-only (SURVEY §2.10) — this is the engine's scale
+extension: tiles arriving as a stream (file source / Kafka at production)
+are decoded statelessly (mapInPandas is streaming-safe) and aggregated
+per-polygon with the PRECOMPUTED weightmap (a static broadcast side), via
+foreachBatch so each micro-batch reuses the exact batch semantics (§2.8).
+
+Per-micro-batch output = per-polygon weighted mean of the tiles in that
+batch, appended to a parquet sink with the batch id — a tumbling
+processing-time window.  Event-time watermarking would hang on a `ts`
+column the same way (groupBy(window(ts), poly_idx)); the synthetic table
+has no event time, so the surface exercised here is the
+decode->join->aggregate streaming plan and exactly-once sink behavior via
+checkpointing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..grid import GridSpec
+from ..operators.aggregate import aggregate
+from ..operators.overlaps import tiles_to_pixels
+
+IMAGE_SCHEMA = ("image_id string, bytes binary, w int, h int, "
+                "fmt string, caption string, phash long")
+
+
+def stream_decode(spark: SparkSession, source_dir: str, grid: GridSpec,
+                  max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming tile decode: file-source stream of image parquet ->
+    long pixel values (stateless, streaming-safe)."""
+    stream = (spark.readStream.schema(IMAGE_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(source_dir))
+    return tiles_to_pixels(stream, grid)
+
+
+def stream_aggregate(spark: SparkSession, source_dir: str, grid: GridSpec,
+                     wm, out_dir: str, checkpoint_dir: str,
+                     max_files_per_trigger: int = 8):
+    """Run the per-polygon weighted aggregate on each micro-batch of tiles,
+    appending (batch_id, poly_idx, dims..., value) to a parquet sink.
+
+    Returns the StreamingQuery; caller awaits/stops it.  Restart with the
+    same checkpoint_dir resumes exactly-once from the last committed batch.
+    """
+    pix_stream = stream_decode(spark, source_dir, grid, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        out = aggregate(batch_df, wm, dims=("var", "t"))
+        (out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(out_dir))
+
+    return (pix_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
