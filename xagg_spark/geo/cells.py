@@ -75,7 +75,7 @@ def pick_resolution(pixel_deg: float, target_pixels_per_cell: float = 4.0) -> in
 
 
 def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int,
-                  dilate: bool = False) -> np.ndarray:
+                  dilate: bool = False, pads=None) -> np.ndarray:
     """Cell cover of a polygon ring, fully vectorized (no per-cell Python):
 
     cover = { cells whose CENTER is inside the polygon  (interior, PIP on
@@ -92,8 +92,9 @@ def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int,
     n = 1 << res
     cw = 360.0 / n   # cell width (lon)
     ch = 180.0 / n   # cell height (lat)
-    lon0, lon1 = float(np.min(lons)), float(np.max(lons))
-    lat0, lat1 = float(np.min(lats)), float(np.max(lats))
+    maxpad = float(np.max(pads)) if pads is not None and len(pads) else 0.0
+    lon0, lon1 = float(np.min(lons)) - maxpad, float(np.max(lons)) + maxpad
+    lat0, lat1 = float(np.min(lats)) - maxpad, float(np.max(lats)) + maxpad
     x0, x1 = cell_range(lon0, lon1, res, True)
     y0, y1 = cell_range(lat0, lat1, res, False)
     nx, ny = x1 - x0 + 1, y1 - y0 + 1
@@ -123,28 +124,7 @@ def cover_polygon(lons: np.ndarray, lats: np.ndarray, res: int,
 
     mark = inside.copy()
 
-    # boundary: conservative per-edge rasterization
-    for k in range(len(lons)):
-        ax, ay, bx, by = ex0[k], ey0[k], ex1[k], ey1[k]
-        gx0 = int(np.floor((min(ax, bx) + 180.0) / cw))
-        gx1 = int(np.floor((max(ax, bx) + 180.0) / cw))
-        for gx in range(max(gx0, x0), min(gx1, x1) + 1):
-            # segment's y-range within this x column (clip the segment to
-            # the column's lon span, conservative by column edges)
-            cxa = -180.0 + gx * cw
-            cxb = cxa + cw
-            if ax == bx:
-                ylo, yhi = min(ay, by), max(ay, by)
-            else:
-                t0 = np.clip((cxa - ax) / (bx - ax), 0.0, 1.0)
-                t1 = np.clip((cxb - ax) / (bx - ax), 0.0, 1.0)
-                ya_ = ay + t0 * (by - ay)
-                yb_ = ay + t1 * (by - ay)
-                ylo, yhi = min(ya_, yb_), max(ya_, yb_)
-            gy0 = max(int(np.floor((ylo + 90.0) / ch)), y0)
-            gy1 = min(int(np.floor((yhi + 90.0) / ch)), y1)
-            if gy1 >= gy0:
-                mark[gx - x0, gy0 - y0:gy1 - y0 + 1] = True
+    mark |= _rasterize_edges(lons, lats, pads, res, x0, x1, y0, y1)
 
     if dilate:
         # 1-ring dilation on the boolean grid (pad, then 8-neighbor OR):
@@ -188,7 +168,8 @@ def _erode1(mark: np.ndarray) -> np.ndarray:
     return e[1:-1, 1:-1]
 
 
-def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int):
+def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int,
+                             pads=None):
     """Dilated cover + 'safe interior' classification.
 
     Returns (cell_ids int64[], full bool[]).  A cell is FULL iff it and all
@@ -200,8 +181,9 @@ def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int):
     # reuse cover_polygon's marking by re-running its vectorized core
     n = 1 << res
     cw, ch = 360.0 / n, 180.0 / n
-    lon0, lon1 = float(np.min(lons)), float(np.max(lons))
-    lat0, lat1 = float(np.min(lats)), float(np.max(lats))
+    maxpad = float(np.max(pads)) if pads is not None and len(pads) else 0.0
+    lon0, lon1 = float(np.min(lons)) - maxpad, float(np.max(lons)) + maxpad
+    lat0, lat1 = float(np.min(lats)) - maxpad, float(np.max(lats)) + maxpad
     x0, x1 = cell_range(lon0, lon1, res, True)
     y0, y1 = cell_range(lat0, lat1, res, False)
     nx, ny = x1 - x0 + 1, y1 - y0 + 1
@@ -225,27 +207,7 @@ def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int):
         crossing[s:e] = (cross & (xi > px[s:e])).sum(axis=1)
     inside = (crossing % 2).astype(bool).reshape(nx, ny)
 
-    # edge rasterization (same as cover_polygon)
-    edge = np.zeros((nx, ny), dtype=bool)
-    for k in range(len(lons)):
-        ax, ay, bx, by = ex0[k], ey0[k], ex1[k], ey1[k]
-        gx0 = int(np.floor((min(ax, bx) + 180.0) / cw))
-        gx1 = int(np.floor((max(ax, bx) + 180.0) / cw))
-        for gx in range(max(gx0, x0), min(gx1, x1) + 1):
-            cxa = -180.0 + gx * cw
-            cxb = cxa + cw
-            if ax == bx:
-                ylo, yhi = min(ay, by), max(ay, by)
-            else:
-                t0 = np.clip((cxa - ax) / (bx - ax), 0.0, 1.0)
-                t1 = np.clip((cxb - ax) / (bx - ax), 0.0, 1.0)
-                ya_ = ay + t0 * (by - ay)
-                yb_ = ay + t1 * (by - ay)
-                ylo, yhi = min(ya_, yb_), max(ya_, yb_)
-            gy0 = max(int(np.floor((ylo + 90.0) / ch)), y0)
-            gy1 = min(int(np.floor((yhi + 90.0) / ch)), y1)
-            if gy1 >= gy0:
-                edge[gx - x0, gy0 - y0:gy1 - y0 + 1] = True
+    edge = _rasterize_edges(lons, lats, pads, res, x0, x1, y0, y1)
 
     mark = inside | edge
     cover = _dilate1(mark)                       # padded (+1)
@@ -265,3 +227,42 @@ def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int):
     keep = np.ones(len(ids), dtype=bool)
     keep[1:] = ids[1:] != ids[:-1]
     return ids[keep], full[keep]
+
+
+def _rasterize_edges(lons, lats, pads, res, x0, x1, y0, y1) -> np.ndarray:
+    """Conservative raster of ring edges onto the (x0..x1, y0..y1) cell
+    window, each edge expanded by its curve pad (degrees): the true
+    projected-straight edge curve stays within pad of the lon/lat chord
+    (geo.ellipsoid.edge_curve_pads), so every cell the true boundary touches
+    gets marked."""
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    mark = np.zeros((nx, ny), dtype=bool)
+    ex0, ey0 = lons, lats
+    ex1, ey1 = np.roll(lons, -1), np.roll(lats, -1)
+    if pads is None:
+        pads = np.zeros(len(lons))
+    for k in range(len(lons)):
+        ax, ay, bx, by = ex0[k], ey0[k], ex1[k], ey1[k]
+        pad = float(pads[k])
+        gx0 = int(np.floor((min(ax, bx) - pad + 180.0) / cw))
+        gx1 = int(np.floor((max(ax, bx) + pad + 180.0) / cw))
+        for gx in range(max(gx0, x0), min(gx1, x1) + 1):
+            # segment y-range within this column (clip segment to the
+            # column lon span widened by pad; conservative)
+            cxa = -180.0 + gx * cw - pad
+            cxb = cxa + cw + 2.0 * pad
+            if ax == bx:
+                ylo, yhi = min(ay, by), max(ay, by)
+            else:
+                t0 = np.clip((cxa - ax) / (bx - ax), 0.0, 1.0)
+                t1 = np.clip((cxb - ax) / (bx - ax), 0.0, 1.0)
+                ya_ = ay + t0 * (by - ay)
+                yb_ = ay + t1 * (by - ay)
+                ylo, yhi = min(ya_, yb_), max(ya_, yb_)
+            gy0 = max(int(np.floor((ylo - pad + 90.0) / ch)), y0)
+            gy1 = min(int(np.floor((yhi + pad + 90.0) / ch)), y1)
+            if gy1 >= gy0:
+                mark[gx - x0, gy0 - y0:gy1 - y0 + 1] = True
+    return mark

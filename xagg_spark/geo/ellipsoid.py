@@ -110,6 +110,30 @@ def inverse(x, y, epsg: int):
     raise ValueError(f"unsupported EPSG:{epsg}")
 
 
+def edge_curve_pads(ring: np.ndarray, epsg: int, k: int = 33) -> np.ndarray:
+    """Per-edge max deviation (degrees) between the lon/lat CHORD and the
+    true projected-straight CURVE of each ring edge, by vectorized sampling.
+
+    The polygon's real geometry (GEOS parity) is straight in the projected
+    CRS; in lon/lat the edge bows away from the chord by up to ~1 degree for
+    long edges.  Cover/classification uses the cheap chord geometry expanded
+    by this pad, which is conservative: every cell the true curve touches is
+    within pad of the chord."""
+    ring = np.asarray(ring, dtype=np.float64)
+    x, y = forward(ring[:, 0], ring[:, 1], epsg)
+    xj, yj = np.roll(x, -1), np.roll(y, -1)
+    lonj, latj = np.roll(ring[:, 0], -1), np.roll(ring[:, 1], -1)
+    t = np.linspace(0.0, 1.0, k)[None, :]
+    xs = x[:, None] * (1 - t) + xj[:, None] * t
+    ys = y[:, None] * (1 - t) + yj[:, None] * t
+    lon_c, lat_c = inverse(xs, ys, epsg)
+    lon_ch = ring[:, 0][:, None] * (1 - t) + lonj[:, None] * t
+    lat_ch = ring[:, 1][:, None] * (1 - t) + latj[:, None] * t
+    dev = np.hypot(lon_c - lon_ch, lat_c - lat_ch)
+    # 1.25 safety for the sampling gap between the k probes
+    return dev.max(axis=1) * 1.25
+
+
 def densify_ring(ring: np.ndarray, epsg: int, max_seg_deg: float = 0.25) -> np.ndarray:
     """Subdivide ring edges IN PROJECTED SPACE and map the midpoints back to
     lon/lat.  The true polygon geometry (GEOS parity) has straight edges in

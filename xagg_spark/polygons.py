@@ -69,31 +69,29 @@ class PolygonSet:
             out[i] = prj
         return out
 
-    def _dense_rings(self, res: int):
-        """Rings densified along PROJECTED-straight edges (the true GEOS
-        geometry) for cover/classification; cached per (epsg, res)."""
-        epsg = self.pick_epsg()
-        cell_deg = 360.0 / (1 << res)
-        key = (epsg, res)
-        cache = getattr(self, "_dense_cache", None)
-        if cache is None:
-            cache = self._dense_cache = {}
-        if key not in cache:
-            seg = max(cell_deg / 4.0, 0.01)
-            cache[key] = [[_ell.densify_ring(r, epsg, seg) for r in poly]
-                          for poly in self.rings]
-        return cache[key]
+    def _edge_pads(self):
+        """Per-ring conservative pad (deg) for the lon/lat-chord-vs-
+        projected-curve deviation of each edge; cached (geometry is
+        immutable in practice)."""
+        pads = getattr(self, "_pads_cache", None)
+        if pads is None:
+            epsg = self.pick_epsg()
+            pads = [[_ell.edge_curve_pads(r, epsg) for r in poly]
+                    for poly in self.rings]
+            self._pads_cache = pads
+        return pads
 
     def cell_cover(self, res: int, dilate: bool = False) -> pd.DataFrame:
         """(poly_idx, cell_id) cover rows for the broadcast prefilter.
         dilate=True adds the 1-cell safety ring needed by center-cell pixel
         assignment (see operators.overlaps)."""
-        dense = self._dense_rings(res)
+        pads = self._edge_pads()
         pi_parts, ci_parts = [], []
-        for i, poly in enumerate(dense):
+        for i, poly in enumerate(self.rings):
             ids = []
-            for r in poly:
-                ids.append(_cells.cover_polygon(r[:, 0], r[:, 1], res, dilate=dilate))
+            for r, pd_ in zip(poly, pads[i]):
+                ids.append(_cells.cover_polygon(r[:, 0], r[:, 1], res,
+                                                dilate=dilate, pads=pd_))
             ids = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
             pi_parts.append(np.full(len(ids), i, dtype=np.int64))
             ci_parts.append(ids)
@@ -106,11 +104,12 @@ class PolygonSet:
         flag: pixels centered in a FULL cell lie entirely inside the
         polygon, so their overlap area needs no clipping (JVM fast path).
         For MultiPolygons full = full in ANY disjoint part."""
-        dense = self._dense_rings(res)
+        pads = self._edge_pads()
         pi_parts, ci_parts, fu_parts = [], [], []
-        for i, poly in enumerate(dense):
-            parts = [_cells.cover_polygon_classified(r[:, 0], r[:, 1], res)
-                     for r in poly]
+        for i, poly in enumerate(self.rings):
+            parts = [_cells.cover_polygon_classified(r[:, 0], r[:, 1], res,
+                                                     pads=pd_)
+                     for r, pd_ in zip(poly, pads[i])]
             parts = [(ids, full) for ids, full in parts if len(ids)]
             if not parts:
                 continue
