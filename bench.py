@@ -30,7 +30,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 # bench grid: 0.05 deg x [20S..40N] x [40W..80E] = 1200x2400 = 2.88M pixels,
-# 3 timesteps -> 8.64M pixel values, 64x64 tiles -> 2,166 images
+# 64x64 tiles; NTIME timesteps -> NTIME x 2.88M pixel values
+NTIME = 2
 def _bench_grid():
     from xagg_spark.grid import GridSpec
     return GridSpec(lat_edge=-20.0, lon_edge=-40.0, dlat=0.05, dlon=0.05,
@@ -61,11 +62,11 @@ def _bench_polys():
 
 def _ensure_images(spark, grid):
     from xagg_spark.synth import generate_spark
-    path = os.path.join(CACHE, "bench_images")
+    path = os.path.join(CACHE, f"bench_images_t{NTIME}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
-        generate_spark(spark, grid, variables=("test",), ntime=3, fmt="raw32",
+        generate_spark(spark, grid, variables=("test",), ntime=NTIME, fmt="raw32",
                        num_partitions=CPUS * 2).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -100,6 +101,49 @@ def _session(master, shuffle):
     return get_spark("bench", master=master, shuffle_partitions=shuffle)
 
 
+def _hw_work(_):
+    a = np.arange(2_000_000, dtype=np.float64)
+    s = 0.0
+    for _ in range(20):
+        s += float(np.sum(a * 1.000001 + 0.5))
+    return s
+
+
+def _hardware_ceiling():
+    """Constant per-process numpy work at p=1 and p=4: measures THIS BOX's
+    parallel slowdown (memory-bandwidth ceiling), the context for reading
+    the Spark scaling numbers below."""
+    import multiprocessing as mp
+
+    work = _hw_work
+    out = {}
+    for procs in (1, 4):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(work, range(procs))
+        out[f"p{procs}"] = round(time.time() - t0, 2)
+    out["memband_parallel_slowdown_1_to_4"] = round(out["p4"] / out["p1"], 2)
+    return out
+
+
+def _scaling_grid():
+    """Mid-size job for the N->4N pair: big enough to amortize fixed costs
+    at local[2], small enough to keep the bench round under budget."""
+    from xagg_spark.grid import GridSpec
+    return GridSpec(lat_edge=-20.0, lon_edge=-40.0, dlat=0.1, dlon=0.1,
+                    nlat=600, nlon=1200, tile_h=60, tile_w=60)
+
+
+def _ensure_images_at(spark, grid, name):
+    from xagg_spark.synth import generate_spark
+    path = os.path.join(CACHE, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        generate_spark(spark, grid, variables=("test",), ntime=3, fmt="raw32",
+                       num_partitions=CPUS * 2).write.mode("overwrite").parquet(path)
+    return path
+
+
 def run():
     os.makedirs(CACHE, exist_ok=True)
     grid = _bench_grid()
@@ -107,27 +151,48 @@ def run():
     queries = {}
     rows_per_sec = {}
 
-    # ---- scaling evidence: same geospatial job at local[8] and local[32]
+    # ---- N -> 4N scaling evidence: the SAME full-size end-to-end job
+    # (decode -> overlap join -> weighted aggregate) at local[2], local[8]
+    # (the N->4N pair) and local[32] (whole machine).  The box's memory
+    # bandwidth caps highly-parallel scaling (see hardware_ceiling), so the
+    # 4x pair is measured below the ceiling.
     scaling = {}
-    for ncores in (8, CPUS):
+    for ncores in (2, 8, CPUS):
         spark = _session(f"local[{ncores}]", max(ncores, 8))
-        # warm the image cache outside the timed stages
-        _ensure_images(spark, grid)
-        t, n = _geo_job(spark, grid, polys)
+        imgs = _ensure_images(spark, grid)
+        from xagg_spark.operators import (aggregate, pixel_overlaps,
+                                          tiles_to_pixels)
+        t0 = time.time()
+        wm = pixel_overlaps(spark, grid, _bench_polys())
+        pix = tiles_to_pixels(imgs, grid)
+        nres = aggregate(pix, wm, dims=("var", "t")).count()
+        nov = wm.overlaps.count()   # cached — no recompute
+        tsec = time.time() - t0
+        npx = grid.nlat * grid.nlon * NTIME
         spark.stop()
-        work_rows = n["pixel_values"] + n["overlap_rows"]
-        tsec = t["decode"] + t["weightmap"] + t["aggregate"]
+        work_rows = npx + nov
         scaling[f"local[{ncores}]"] = {
-            "sec": round(tsec, 2), "stages": {k: round(v, 2) for k, v in t.items()},
-            "rows": n, "rows_per_sec": round(work_rows / tsec, 0)}
-        if ncores == CPUS:
-            queries["geo_decode"] = round(t["decode"], 2)
-            queries["geo_weightmap"] = round(t["weightmap"], 2)
-            queries["geo_aggregate"] = round(t["aggregate"], 2)
-            rows_per_sec["pip_join_agg"] = round(work_rows / tsec, 0)
+            "sec": round(tsec, 2),
+            "rows": {"pixel_values": npx, "overlap_rows": nov,
+                     "result_rows": nres},
+            "rows_per_sec": round(work_rows / tsec, 0)}
+    t2 = scaling["local[2]"]["sec"]
     t8 = scaling["local[8]"]["sec"]
     t32 = scaling[f"local[{CPUS}]"]["sec"]
+    scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
     scaling["efficiency_8_to_32"] = round((t8 / t32) / (CPUS / 8), 3)
+
+    # ---- headline throughput: per-stage splits on the whole machine
+    spark = _session(f"local[{CPUS}]", CPUS)
+    _ensure_images(spark, grid)
+    t, n = _geo_job(spark, grid, polys)
+    spark.stop()
+    work_rows = n["pixel_values"] + n["overlap_rows"]
+    tsec = sum(t.values())
+    queries["geo_decode"] = round(t["decode"], 2)
+    queries["geo_weightmap"] = round(t["weightmap"], 2)
+    queries["geo_aggregate"] = round(t["aggregate"], 2)
+    rows_per_sec["pip_join_agg"] = round(work_rows / tsec, 0)
 
     # ---- table-based headline queries at SF_DIR on local[CPUS]
     spark = _session(f"local[{CPUS}]", CPUS)

@@ -193,6 +193,35 @@ GROUP BY o.poly_idx, ts.t
 """
 
 
+def q_aggregate_with_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + R1: additional weight grid (checkerboard (ix+iy)%2 + 0.5) on the
+    data grid — w = rel_area * weight, for_loop normalization."""
+    from .operators import aggregate, pixel_overlaps, tiles_to_pixels
+    iy, ix = np.meshgrid(np.arange(QGRID.nlat), np.arange(QGRID.nlon),
+                         indexing="ij")
+    weights = pd.DataFrame({
+        "pix_idx": (iy * QGRID.nlon + ix).ravel().astype(np.int64),
+        "weight": (((ix + iy) % 2) + 0.5).ravel().astype(np.float64)})
+    wm = pixel_overlaps(spark, QGRID, _qpolys(), weights_pdf=weights)
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=2, fmt="raw32")
+    pix = tiles_to_pixels(imgs, QGRID)
+    out = aggregate(pix, wm, dims=("var", "t"))
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.round("value", 6).alias("value"))
+
+
+SQL_AGG_WEIGHTS = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()},
+ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(2))
+SELECT o.poly_idx, ts.t,
+       round(sum({value_sql('o.ix', 'o.iy', 'ts.t')} * o.area
+                 * (CAST((o.ix + o.iy) % 2 AS DOUBLE) + 0.5))
+             / sum(o.area * (CAST((o.ix + o.iy) % 2 AS DOUBLE) + 0.5)), 6) AS value
+FROM ov o CROSS JOIN ts
+GROUP BY o.poly_idx, ts.t
+"""
+
+
 def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6/O3: k=5 nearest pixel centers per polygon centroid, CEA distance,
     deterministic tie-break on pix_idx."""
@@ -696,6 +725,7 @@ def all_queries():
         "pixel_overlaps_rect": q_pixel_overlaps_rect,
         "aggregate_weighted_mean": q_aggregate_weighted_mean,
         "aggregate_weighted_mean_nan": q_aggregate_weighted_mean_nan,
+        "aggregate_with_weights": q_aggregate_with_weights,
         "knn_tiles": q_knn_tiles,
         "bbox_subset": q_bbox_subset,
         "lon_wrap_canonicalize": q_lon_wrap_canonicalize,
@@ -726,6 +756,7 @@ def all_oracle_sql():
         "pixel_overlaps_rect": SQL_PIXEL_OVERLAPS,
         "aggregate_weighted_mean": SQL_AGG_MEAN,
         "aggregate_weighted_mean_nan": SQL_AGG_MEAN_NAN,
+        "aggregate_with_weights": SQL_AGG_WEIGHTS,
         "knn_tiles": SQL_KNN,
         "bbox_subset": SQL_BBOX,
         "lon_wrap_canonicalize": SQL_LON_WRAP,
