@@ -13,8 +13,14 @@ Reproduces the reference's default ``impl='for_loop'`` semantics
               is NaN (xarray .sum(skipna=True) of all-NaN -> 0.0)
   agg       = NaN when the polygon has no overlap or no valid pixels
 
-One hash aggregate per (poly_idx, dims): Spark's partial+final aggregation is
-the distributed version of all three reference impls at once (SURVEY §2.4).
+Physical plan (byte-traffic-minimal form):
+
+  all-NaN pixels are detected in one narrow aggregate over the fact table
+  and are typically ~0 rows, so the per-(poly[,var]) denominators are
+  computed as  tot_w(poly) - nan_w(poly[,var])  from TINY broadcast tables —
+  the overlap table is never shuffled against a per-pixel mask.  The only
+  large shuffle is the unavoidable fact ⨝ overlaps equi-join on pix_idx,
+  followed by one partial+final hash aggregate per (poly_idx, dims).
 
 All-variable aggregation happens in a single pass (reference loops vars but
 reuses the weightmap, core.py:718-721).
@@ -22,10 +28,10 @@ reuses the weightmap, core.py:718-721).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
+
 
 def _nan():
     return F.lit(float("nan"))
@@ -46,66 +52,62 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     (reference A3: one hash aggregate per (poly_idx, dims)).
     """
     dims = list(dims)
+    has_var = "var" in dims
+    vkeys = ["var"] if has_var else []
     over = wm.overlaps
     if not wm.has_weights:
         over = over.withColumn("weight", F.lit(1.0))
-
-    # per-pixel-per-var all-NaN mask over ALL non-loc dims
-    # (for_loop: `.all(other_dims)`, core.py:812).  `var` is special: the
-    # mask is per (pix, var); the remaining dims are collapsed.
-    mask_keys = ["pix_idx"] + (["var"] if "var" in dims else [])
-    masks = (pix_values
-             .groupBy(*mask_keys)
-             .agg(F.max(F.when(_finite(F.col(value_col)), 1).otherwise(0)).alias("_any_finite"))
-             .withColumn("all_nan", F.col("_any_finite") == 0)
-             .drop("_any_finite"))
-
-    # join masks onto the (small) overlap table, then normalize weights per
-    # polygon over valid pixels: w_hat = w / sum_{valid} w, NaN when the
-    # valid-sum is 0 (normalize() all-zero guard, auxfuncs.py:46-49)
-    # persist: ov feeds both the denominator pass and the value join, and
-    # recomputing it would re-run the upstream decode/refine lineage
-    ov = over.join(masks, "pix_idx").persist()
-    grp = ["poly_idx"] + (["var"] if "var" in dims else [])
-    w_raw = F.col("rel_area") * F.col("weight")
-    valid_w = F.when(~F.col("all_nan") & _finite(w_raw), w_raw)
-    # per-(poly[,var]) denominators via groupBy (map-side partials), then
-    # broadcast back — a window partitioned by poly_idx would concentrate a
-    # domain-scale polygon's rows in one task
-    stats = (ov.groupBy(*grp)
-               .agg(F.sum(valid_w).alias("_denom"),
-                    F.count(valid_w).alias("_n_valid")))
-    ov = (ov.join(F.broadcast(stats), grp)
-          .withColumn("_w", w_raw)
-          .withColumn(
-              "w_hat",
-              F.when(F.col("all_nan") | (F.col("_denom") == 0.0), _nan())
-               .otherwise(F.col("_w") / F.col("_denom"))))
-
-    if broadcast_overlaps:
-        ov = F.broadcast(ov)
-
-    joined = pix_values.join(
-        ov.select("poly_idx", "pix_idx", *(["var"] if "var" in dims else []),
-                  "w_hat", "_n_valid"),
-        on=["pix_idx"] + (["var"] if "var" in dims else []))
+    w_raw = (F.col("rel_area") * F.col("weight")).alias("_w")
+    ov = over.select("poly_idx", "pix_idx", w_raw)
 
     v = F.col(value_col)
-    term = F.when(_finite(v) & _finite(F.col("w_hat")), v * F.col("w_hat"))
-    res = (joined
-           .groupBy("poly_idx", *dims)
-           .agg(F.sum(term).alias("_s"),
-                F.max("_n_valid").alias("_nv"))
-           .withColumn(
-               value_col,
-               F.when(F.col("_nv") == 0, _nan())
-                .otherwise(F.coalesce(F.col("_s"), F.lit(0.0))))
-           .drop("_s", "_nv"))
+
+    # 1. all-NaN pixels per (pix[, var]) — for_loop's `.all(other_dims)`
+    #    mask (core.py:812); narrow aggregate, usually ~empty
+    allnan = (pix_values
+              .groupBy("pix_idx", *vkeys)
+              .agg(F.max(F.when(_finite(v), 1).otherwise(0)).alias("_af"))
+              .filter(F.col("_af") == 0)
+              .select("pix_idx", *vkeys))
+
+    # 2. per-polygon totals from the overlap table alone (map-side partials)
+    tot = ov.groupBy("poly_idx").agg(F.sum("_w").alias("_tot"),
+                                     F.count(F.lit(1)).alias("_n_rows"))
+
+    # 3. weight/count of all-NaN pixels per (poly[, var]) — tiny join
+    nanw = (ov.join(F.broadcast(allnan), "pix_idx")
+              .groupBy("poly_idx", *vkeys)
+              .agg(F.sum("_w").alias("_nanw"),
+                   F.count(F.lit(1)).alias("_n_nan")))
+
+    # 4. the one large shuffle: fact ⨝ overlaps on pix_idx
+    joined = pix_values.join(ov, "pix_idx")
+    if broadcast_overlaps:
+        joined = pix_values.join(F.broadcast(ov), "pix_idx")
+
+    res = (joined.groupBy("poly_idx", *dims)
+                 .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s")))
+
+    # attach denominators / valid counts from the tiny broadcast tables:
+    # denom = tot - nanw  (== sum over valid pixels; normalize drop_na,
+    # auxfuncs.py:10-53); NaN result when no valid pixels; 0.0 when valid
+    # pixels exist but every term was NaN or denom == 0 (xarray skipna sum)
+    res = (res.join(F.broadcast(tot), "poly_idx")
+              .join(F.broadcast(nanw), ["poly_idx"] + vkeys, "left")
+              .withColumn("_denom", F.col("_tot") - F.coalesce("_nanw", F.lit(0.0)))
+              .withColumn("_n_valid",
+                          F.col("_n_rows") - F.coalesce("_n_nan", F.lit(0)))
+              .withColumn(
+                  value_col,
+                  F.when(F.col("_n_valid") == 0, _nan())
+                   .when(F.col("_denom") == 0.0, F.lit(0.0))
+                   .otherwise(F.coalesce(F.col("_s") / F.col("_denom"),
+                                         F.lit(0.0))))
+              .select("poly_idx", *dims, value_col))
 
     # outer merge onto polygon attrs (reference J3, core.py:533-538): keep
     # zero-overlap polygons with NaN values for every dim combination.
-    # dim_space comes from the (tiny) result, not from another full scan of
-    # the fact table.
+    # dim_space comes from the (tiny) result, not another fact-table scan.
     spark = pix_values.sparkSession
     attrs = spark.createDataFrame(wm.polys.attrs)
     res = res.persist()
