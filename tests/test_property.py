@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the pure-math core."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from xagg_spark.codecs import decode_tile, encode_tile, psnr
+from xagg_spark.geo import (cea_band_area, clip_area, forward,
+                            rect_rect_overlap_area_cea, synth_bounds,
+                            wrap_lon)
+from xagg_spark.geo.cells import cell_of, cover_polygon
+
+lat_st = st.floats(-89.0, 89.0)
+lon_st = st.floats(-179.0, 179.0)
+
+
+@given(st.lists(st.floats(-1000.0, 1000.0), min_size=1, max_size=50))
+def test_wrap_lon_range_and_idempotence(lons):
+    w = wrap_lon(np.array(lons))
+    assert ((w >= -180.0) & (w < 180.0 + 1e-9)).all()
+    assert np.allclose(wrap_lon(w), w)
+
+
+@given(st.integers(2, 40), st.floats(0.05, 5.0), st.floats(-60.0, 55.0))
+def test_synth_bounds_regular_grid(n, step, start):
+    lats = start + np.arange(n) * step
+    lats = lats[lats <= 89.9]
+    if len(lats) < 2:
+        return
+    b = synth_bounds(lats, is_lon=False)
+    # bounds bracket their coordinate and are clamped
+    assert (b[:, 0] <= lats + 1e-9).all() and (b[:, 1] >= lats - 1e-9).all()
+    assert (b >= -90.0).all() and (b <= 90.0).all()
+    # adjacent pixels share an edge on a regular grid (away from clamps)
+    inner = (b[1:, 0] > -90.0) & (b[:-1, 1] < 90.0)
+    assert np.allclose(b[1:, 0][inner], b[:-1, 1][inner])
+
+
+@settings(max_examples=60)
+@given(lon_st, lat_st, st.floats(0.1, 20.0), st.floats(0.1, 20.0),
+       lon_st, lat_st, st.floats(0.1, 20.0), st.floats(0.1, 20.0))
+def test_clip_matches_analytic_for_rects(ax, ay, aw, ah, bx, by, bw, bh):
+    a = (ax, ay, min(ax + aw, 179.9), min(ay + ah, 89.9))
+    b = (bx, by, min(bx + bw, 179.9), min(by + bh, 89.9))
+    if a[2] <= a[0] or a[3] <= a[1] or b[2] <= b[0] or b[3] <= b[1]:
+        return
+    want = float(rect_rect_overlap_area_cea(a[0], a[1], a[2], a[3],
+                                            b[0], b[1], b[2], b[3]))
+    pa = np.array([[a[0], a[1]], [a[2], a[1]], [a[2], a[3]], [a[0], a[3]]])
+    pb = np.array([[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]])
+    ax_, ay_ = forward(pa[:, 0], pa[:, 1], 6933)
+    bx_, by_ = forward(pb[:, 0], pb[:, 1], 6933)
+    got = clip_area(np.stack([ax_, ay_], 1), np.stack([bx_, by_], 1))
+    assert np.isclose(got, want, rtol=1e-9, atol=1.0)  # 1 m^2 abs slop
+
+
+@settings(max_examples=40)
+@given(st.lists(st.tuples(lon_st, lat_st), min_size=3, max_size=8),
+       st.integers(4, 9))
+def test_cover_contains_vertex_cells(pts, res):
+    ring = np.array(pts, dtype=np.float64)
+    # skip degenerate rings (collinear / zero area in lon-lat space)
+    x, y = ring[:, 0], ring[:, 1]
+    area2 = abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    if area2 < 1e-6:
+        return
+    # the engine always uses the 1-ring-dilated cover (center-cell pixel
+    # assignment); a vertex exactly on a cell boundary floors into the
+    # neighbor cell, which the dilation covers
+    cover = cover_polygon(x, y, res, dilate=True)
+    vcells = cell_of(x, y, res)
+    assert set(vcells.tolist()) <= set(cover.tolist())
+
+
+@settings(max_examples=30)
+@given(st.integers(0, 2**31 - 1), st.sampled_from(["raw32", "png", "q8"]))
+def test_codec_roundtrip_psnr(seed, fmt):
+    rng = np.random.default_rng(seed)
+    arr = (rng.random((9, 13)) * rng.uniform(0.1, 1e4)).astype(np.float32)
+    out = decode_tile(encode_tile(arr, fmt), fmt, 13, 9)
+    if fmt == "raw32":
+        assert np.array_equal(arr, out)
+    else:
+        assert psnr(arr, out) >= 40.0
+
+
+@settings(max_examples=40)
+@given(st.floats(-89.0, 88.0), st.floats(0.01, 1.0),
+       st.floats(-179.0, 178.0), st.floats(0.01, 1.0))
+def test_cea_band_area_positive_and_additive(lat0, dlat, lon0, dlon):
+    lat1, lon1 = lat0 + dlat, lon0 + dlon
+    whole = float(cea_band_area(lat0, lat1, lon0, lon1))
+    mid = lat0 + dlat / 2
+    parts = float(cea_band_area(lat0, mid, lon0, lon1)) \
+        + float(cea_band_area(mid, lat1, lon0, lon1))
+    assert whole > 0
+    assert np.isclose(whole, parts, rtol=1e-12)
