@@ -101,6 +101,21 @@ def _session(master, shuffle):
     return get_spark("bench", master=master, shuffle_partitions=shuffle)
 
 
+def _warmup(spark):
+    """Tiny end-to-end run: JIT/codegen warmup, Python worker + Arrow init —
+    the first cold job otherwise inflates the timed run by 30%+."""
+    from xagg_spark.grid import GridSpec
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    from xagg_spark.polygons import PolygonSet, rect_ring
+    from xagg_spark.synth import generate_spark
+    g = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=0.5, dlon=0.5,
+                 nlat=32, nlon=32, tile_h=16, tile_w=16)
+    imgs = generate_spark(spark, g, ntime=1, fmt="raw32")
+    wm = pixel_overlaps(spark, g, PolygonSet([rect_ring(2.0, 2.0, 9.0, 9.0)]))
+    aggregate(tiles_to_pixels(imgs, g), wm, dims=("var", "t")).count()
+    wm.overlaps.unpersist()
+
+
 def _hw_work(_):
     a = np.arange(2_000_000, dtype=np.float64)
     s = 0.0
@@ -162,6 +177,7 @@ def run():
         imgs = _ensure_images(spark, grid)
         from xagg_spark.operators import (aggregate, pixel_overlaps,
                                           tiles_to_pixels)
+        _warmup(spark)
         t0 = time.time()
         wm = pixel_overlaps(spark, grid, _bench_polys())
         pix = tiles_to_pixels(imgs, grid)
