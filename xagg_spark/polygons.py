@@ -28,6 +28,26 @@ def rect_ring(lon0: float, lat0: float, lon1: float, lat1: float) -> np.ndarray:
                     dtype=np.float64)
 
 
+def centroids(polys: "PolygonSet") -> np.ndarray:
+    """Area-weighted polygon centroids in lon/lat (reference G6,
+    /root/reference/xagg/diag.py:100; driver-side — polygons are small)."""
+    out = np.zeros((len(polys), 2))
+    for i, poly in enumerate(polys.rings):
+        cx = cy = area = 0.0
+        for r in poly:
+            x, y = r[:, 0], r[:, 1]
+            xn, yn = np.roll(x, -1), np.roll(y, -1)
+            cross = x * yn - xn * y
+            a = cross.sum() / 2.0
+            if abs(a) < 1e-300:
+                continue
+            cx += float(((x + xn) * cross).sum() / 6.0)
+            cy += float(((y + yn) * cross).sum() / 6.0)
+            area += a
+        out[i] = (cx / area, cy / area) if area else (np.nan, np.nan)
+    return out
+
+
 @dataclass
 class PolygonSet:
     """rings[i] = list of exterior rings (lon/lat (N,2)) of polygon i
