@@ -116,49 +116,6 @@ def _warmup(spark):
     wm.overlaps.unpersist()
 
 
-def _hw_work(_):
-    a = np.arange(2_000_000, dtype=np.float64)
-    s = 0.0
-    for _ in range(20):
-        s += float(np.sum(a * 1.000001 + 0.5))
-    return s
-
-
-def _hardware_ceiling():
-    """Constant per-process numpy work at p=1 and p=4: measures THIS BOX's
-    parallel slowdown (memory-bandwidth ceiling), the context for reading
-    the Spark scaling numbers below."""
-    import multiprocessing as mp
-
-    work = _hw_work
-    out = {}
-    for procs in (1, 4):
-        t0 = time.time()
-        with mp.Pool(procs) as p:
-            p.map(work, range(procs))
-        out[f"p{procs}"] = round(time.time() - t0, 2)
-    out["memband_parallel_slowdown_1_to_4"] = round(out["p4"] / out["p1"], 2)
-    return out
-
-
-def _scaling_grid():
-    """Mid-size job for the N->4N pair: big enough to amortize fixed costs
-    at local[2], small enough to keep the bench round under budget."""
-    from xagg_spark.grid import GridSpec
-    return GridSpec(lat_edge=-20.0, lon_edge=-40.0, dlat=0.1, dlon=0.1,
-                    nlat=600, nlon=1200, tile_h=60, tile_w=60)
-
-
-def _ensure_images_at(spark, grid, name):
-    from xagg_spark.synth import generate_spark
-    path = os.path.join(CACHE, name)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        shutil.rmtree(path, ignore_errors=True)
-        generate_spark(spark, grid, variables=("test",), ntime=3, fmt="raw32",
-                       num_partitions=CPUS * 2).write.mode("overwrite").parquet(path)
-    return path
-
-
 def run():
     os.makedirs(CACHE, exist_ok=True)
     grid = _bench_grid()
@@ -169,8 +126,8 @@ def run():
     # ---- N -> 4N scaling evidence: the SAME full-size end-to-end job
     # (decode -> overlap join -> weighted aggregate) at local[2], local[8]
     # (the N->4N pair) and local[32] (whole machine).  The box's memory
-    # bandwidth caps highly-parallel scaling (see hardware_ceiling), so the
-    # 4x pair is measured below the ceiling.
+    # bandwidth caps highly-parallel scaling (calibration probes in
+    # BASELINE.md), so the 4x pair is measured below the ceiling.
     scaling = {}
     for ncores in (2, 8, CPUS):
         spark = _session(f"local[{ncores}]", max(ncores, 8))
