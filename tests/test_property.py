@@ -54,11 +54,15 @@ def test_clip_matches_analytic_for_rects(ax, ay, aw, ah, bx, by, bw, bh):
 
 
 @settings(max_examples=40)
-@given(st.lists(st.tuples(lon_st, lat_st), min_size=3, max_size=8),
+@given(st.lists(st.tuples(lon_st, lat_st), min_size=3, max_size=8, unique=True),
        st.integers(4, 9))
 def test_cover_contains_vertex_cells(pts, res):
     ring = np.array(pts, dtype=np.float64)
-    # skip degenerate rings (collinear / zero area in lon-lat space)
+    # make the ring SIMPLE (engine contract, same as GEOS validity):
+    # star-shaped ordering by angle around the centroid
+    c = ring.mean(axis=0)
+    ang = np.arctan2(ring[:, 1] - c[1], ring[:, 0] - c[0])
+    ring = ring[np.argsort(ang)]
     x, y = ring[:, 0], ring[:, 1]
     area2 = abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
     if area2 < 1e-6:

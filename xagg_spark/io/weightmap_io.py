@@ -162,6 +162,15 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             wm_b = pixel_overlaps(spark, grid, polys, weights_pdf=None,
                                   pixels=pix_b, raw_areas=True)
             wm_b.overlaps.write.mode("overwrite").parquet(part)
+            # per-bucket lineage: row count + area checksum (north_rule:
+            # "per-partition lineage: cell range, row counts, overlap-weight
+            # checksums") — lets resume/audit detect partial writes
+            stats = wm_b.overlaps.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("area").alias("area_sum")).collect()[0]
+            state.setdefault("lineage", {})[key] = {
+                "rows": int(stats["n"]),
+                "area_checksum": float(stats["area_sum"] or 0.0)}
             wm_b.overlaps.unpersist()
         except NoOverlapError:
             # bucket with no overlaps: write an empty marker partition
