@@ -41,6 +41,14 @@ def _finite(c):
     return ~F.isnan(c) & c.isNotNull()
 
 
+# auto-broadcast threshold for the overlap side: small weightmaps skip the
+# fact-table exchange entirely.  Local A/B at 3.8M rows showed parity (the
+# broadcast build offsets the saved local shuffle), so the default favors
+# broadcast only when it is unambiguously cheap; on a real cluster (network
+# shuffle) callers should raise it or pass broadcast_overlaps=True.
+BROADCAST_OVERLAPS_MAX_ROWS = 1_000_000
+
+
 def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
               value_col: str = "value",
               broadcast_overlaps: bool | None = None) -> DataFrame:
@@ -80,10 +88,18 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
               .agg(F.sum("_w").alias("_nanw"),
                    F.count(F.lit(1)).alias("_n_nan")))
 
-    # 4. the one large shuffle: fact ⨝ overlaps on pix_idx
-    joined = pix_values.join(ov, "pix_idx")
-    if broadcast_overlaps:
-        joined = pix_values.join(F.broadcast(ov), "pix_idx")
+    # 4. fact ⨝ overlaps on pix_idx.  When the overlap side fits a
+    #    broadcast (auto: row count vs threshold — cheap when the caller's
+    #    pixel_overlaps persisted it), the fact table never shuffles at all
+    #    and the final aggregate is map-side partial + a tiny reduce.
+    if broadcast_overlaps is None:
+        try:
+            broadcast_overlaps = (wm.overlaps.count()
+                                  <= BROADCAST_OVERLAPS_MAX_ROWS)
+        except Exception:
+            broadcast_overlaps = False
+    joined = pix_values.join(F.broadcast(ov) if broadcast_overlaps else ov,
+                             "pix_idx")
 
     res = (joined.groupBy("poly_idx", *dims)
                  .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s")))
