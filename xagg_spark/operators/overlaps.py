@@ -457,7 +457,7 @@ def tiles_to_pixels(df_images: DataFrame, grid: GridSpec,
     def explode_tiles(batches):
         g = GridSpec.from_dict(gd)
         for pdf in batches:
-            outs = []
+            pix_parts, val_parts, vars_, ts_, sizes = [], [], [], [], []
             for iid, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
                                            pdf["w"], pdf["h"], pdf["fmt"]):
                 parts = iid.split("_")
@@ -465,11 +465,16 @@ def tiles_to_pixels(df_images: DataFrame, grid: GridSpec,
                 var = "_".join(parts[1:-3])
                 arr = decode_tile(buf, fmt, int(w), int(h))
                 iy, ix = g.tile_pixel_indices(ty, tx)
-                outs.append(pd.DataFrame({
-                    "pix_idx": g.pix_idx(iy, ix).ravel(),
-                    "var": var, "t": int(t),
-                    "value": arr.astype(np.float64).ravel()}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                ids = g.pix_idx(iy, ix).ravel()
+                pix_parts.append(ids)
+                val_parts.append(arr.astype(np.float64).ravel())
+                vars_.append(var); ts_.append(t); sizes.append(len(ids))
+            if pix_parts:
+                # one vectorized frame per Arrow batch (no per-tile pandas)
+                yield pd.DataFrame({
+                    "pix_idx": np.concatenate(pix_parts),
+                    "var": np.repeat(np.asarray(vars_, dtype=object), sizes),
+                    "t": np.repeat(np.asarray(ts_, dtype=np.int64), sizes),
+                    "value": np.concatenate(val_parts)})
 
     return df_images.mapInPandas(explode_tiles, schema)
