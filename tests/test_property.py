@@ -3,6 +3,11 @@
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
+# timing-based flake guard: cover computations on large random polygons can
+# exceed hypothesis's default 200ms deadline under machine load
+settings.register_profile("nodl", deadline=None)
+settings.load_profile("nodl")
+
 from xagg_spark.codecs import decode_tile, encode_tile, psnr
 from xagg_spark.geo import (cea_band_area, clip_area, forward,
                             rect_rect_overlap_area_cea, synth_bounds,
