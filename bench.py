@@ -142,6 +142,14 @@ def run():
         nov = wm.overlaps.count()   # cached — no recompute
         tsec = time.time() - t0
         npx = grid.nlat * grid.nlon * NTIME
+        if ncores == CPUS:
+            # per-stage splits from the same warm session (saves a JVM)
+            t, n = _geo_job(spark, grid, polys)
+            queries["geo_decode"] = round(t["decode"], 2)
+            queries["geo_weightmap"] = round(t["weightmap"], 2)
+            queries["geo_aggregate"] = round(t["aggregate"], 2)
+            rows_per_sec["pip_join_agg"] = round(
+                (n["pixel_values"] + n["overlap_rows"]) / sum(t.values()), 0)
         spark.stop()
         work_rows = npx + nov
         scaling[f"local[{ncores}]"] = {
@@ -154,18 +162,6 @@ def run():
     t32 = scaling[f"local[{CPUS}]"]["sec"]
     scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
     scaling["efficiency_8_to_32"] = round((t8 / t32) / (CPUS / 8), 3)
-
-    # ---- headline throughput: per-stage splits on the whole machine
-    spark = _session(f"local[{CPUS}]", CPUS)
-    _ensure_images(spark, grid)
-    t, n = _geo_job(spark, grid, polys)
-    spark.stop()
-    work_rows = n["pixel_values"] + n["overlap_rows"]
-    tsec = sum(t.values())
-    queries["geo_decode"] = round(t["decode"], 2)
-    queries["geo_weightmap"] = round(t["weightmap"], 2)
-    queries["geo_aggregate"] = round(t["aggregate"], 2)
-    rows_per_sec["pip_join_agg"] = round(work_rows / tsec, 0)
 
     # ---- table-based headline queries at SF_DIR on local[CPUS]
     spark = _session(f"local[{CPUS}]", CPUS)
