@@ -614,7 +614,8 @@ bits AS (
   GROUP BY doc_id, j.j
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 

@@ -92,10 +92,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                             F.col("gb._id").alias("id_b"))
                    .agg(F.count(F.lit(1)).alias("n_inter")))
     else:
+        # equi-join on (id, gram): candidate pairs pick up side-a grams by
+        # id, then probe side-b grams on BOTH keys — the shared gram is part
+        # of the join condition, so no per-pair |grams_a| x |grams_b|
+        # cross-product is ever built (scale-critical: LSH survivors at
+        # 10^9 docs can include long documents)
         ga = grams.withColumnRenamed("_id", "id_a")
         gb = grams.withColumnRenamed("_id", "id_b")
-        inter = (pairs.join(ga, "id_a").join(gb.withColumnRenamed("g", "g2"), "id_b")
-                      .filter(F.col("g") == F.col("g2"))
+        inter = (pairs.join(ga, "id_a").join(gb, ["id_b", "g"])
                       .groupBy("id_a", "id_b")
                       .agg(F.count(F.lit(1)).alias("n_inter")))
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
