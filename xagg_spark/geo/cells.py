@@ -168,35 +168,51 @@ def _erode1(mark: np.ndarray) -> np.ndarray:
     return e[1:-1, 1:-1]
 
 
-def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int,
-                             pads=None):
-    """Dilated cover + 'safe interior' classification.
+def cover_polygon_classified(rings, res: int, pads_list=None):
+    """Dilated cover + 'safe interior' classification over ALL rings of one
+    polygon (exterior(s), disjoint parts, AND holes) at once.
 
-    Returns (cell_ids int64[], full bool[]).  A cell is FULL iff it and all
-    8 neighbors have centers inside the ring and no ring edge passes through
-    them — then any pixel whose center falls in the cell (pixel <= cell
-    size) lies entirely inside the polygon, so its overlap is the whole
-    pixel, computable in closed form JVM-side with no clipping.
+    rings: list of (N,2) lon/lat vertex arrays.  pads_list: per-ring arrays
+    of per-edge conservative curve pads (degrees).
+
+    Returns (cell_ids int64[], full bool[]).  Interior = even-odd crossing
+    parity over the UNION of all rings' edges — a point inside a hole has
+    even parity, so hole interiors are correctly NOT interior (the
+    reference's GEOS geometries subtract interior rings).  A cell is FULL
+    iff it and all 8 neighbors have centers inside the region and no ring
+    edge (hole edges included) passes through them — then any pixel whose
+    center falls in the cell (pixel <= cell size per axis) lies entirely
+    inside the polygon-with-holes, so its overlap is the whole pixel,
+    computable in closed form JVM-side with no clipping.
     """
-    # reuse cover_polygon's marking by re-running its vectorized core
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    if pads_list is None:
+        pads_list = [None] * len(rings)
     n = 1 << res
     cw, ch = 360.0 / n, 180.0 / n
-    maxpad = float(np.max(pads)) if pads is not None and len(pads) else 0.0
-    lon0, lon1 = float(np.min(lons)) - maxpad, float(np.max(lons)) + maxpad
-    lat0, lat1 = float(np.min(lats)) - maxpad, float(np.max(lats)) + maxpad
+    maxpad = max((float(np.max(p)) for p in pads_list
+                  if p is not None and len(p)), default=0.0)
+    all_lon = np.concatenate([r[:, 0] for r in rings])
+    all_lat = np.concatenate([r[:, 1] for r in rings])
+    lon0, lon1 = float(all_lon.min()) - maxpad, float(all_lon.max()) + maxpad
+    lat0, lat1 = float(all_lat.min()) - maxpad, float(all_lat.max()) + maxpad
     x0, x1 = cell_range(lon0, lon1, res, True)
     y0, y1 = cell_range(lat0, lat1, res, False)
     nx, ny = x1 - x0 + 1, y1 - y0 + 1
 
+    # concatenated edge list over every ring (rolls stay ring-local)
+    ex0 = all_lon
+    ey0 = all_lat
+    ex1 = np.concatenate([np.roll(r[:, 0], -1) for r in rings])
+    ey1 = np.concatenate([np.roll(r[:, 1], -1) for r in rings])
+
     cx = -180.0 + (np.arange(x0, x1 + 1) + 0.5) * cw
     cy = -90.0 + (np.arange(y0, y1 + 1) + 0.5) * ch
     GX, GY = np.meshgrid(cx, cy, indexing="ij")
-    ex0, ey0 = lons, lats
-    ex1, ey1 = np.roll(lons, -1), np.roll(lats, -1)
     px = GX.ravel()[:, None]
     py = GY.ravel()[:, None]
     crossing = np.zeros(px.shape[0], dtype=np.int64)
-    CHK = max(1024, (1 << 23) // max(len(lons), 1))
+    CHK = max(1024, (1 << 23) // max(len(ex0), 1))
     for s in range(0, px.shape[0], CHK):
         e = min(s + CHK, px.shape[0])
         ya, yb = ey0[None, :], ey1[None, :]
@@ -207,7 +223,9 @@ def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int,
         crossing[s:e] = (cross & (xi > px[s:e])).sum(axis=1)
     inside = (crossing % 2).astype(bool).reshape(nx, ny)
 
-    edge = _rasterize_edges(lons, lats, pads, res, x0, x1, y0, y1)
+    edge = np.zeros((nx, ny), dtype=bool)
+    for r, p in zip(rings, pads_list):
+        edge |= _rasterize_edges(r[:, 0], r[:, 1], p, res, x0, x1, y0, y1)
 
     mark = inside | edge
     cover = _dilate1(mark)                       # padded (+1)
@@ -221,12 +239,15 @@ def cover_polygon_classified(lons: np.ndarray, lats: np.ndarray, res: int,
     kx, ky = kx - 1 + x0, ky - 1 + y0
     ok = (ky >= 0) & (ky < n)
     kx, ky, full = kx[ok] % n, ky[ok], full[ok]
+    if len(kx) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
     ids = cell_id(res, kx, ky)
-    order = np.argsort(ids, kind="stable")
-    ids, full = ids[order], full[order]
-    keep = np.ones(len(ids), dtype=bool)
-    keep[1:] = ids[1:] != ids[:-1]
-    return ids[keep], full[keep]
+    uids, inv = np.unique(ids, return_inverse=True)
+    # a physical cell reached twice (lon wrap) is FULL only if every window
+    # instance says so (conservative: edge wins over full)
+    ufull = np.ones(len(uids), dtype=bool)
+    np.minimum.at(ufull, inv, full)
+    return uids, ufull
 
 
 def _rasterize_edges(lons, lats, pads, res, x0, x1, y0, y1) -> np.ndarray:

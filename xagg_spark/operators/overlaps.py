@@ -104,33 +104,95 @@ def pixel_geometry(spark: SparkSession, grid, num_partitions: int | None = None,
     return out
 
 
+def _q_auth_col(lat):
+    """Authalic q (Snyder eq. 3-12) as a JVM column expression."""
+    e2, e = _ell.E2, float(_ell.E)
+    s = F.sin(F.radians(lat))
+    return F.lit(1.0 - e2) * (
+        s / (F.lit(1.0) - F.lit(e2) * s * s)
+        - F.lit(1.0 / (2.0 * e))
+        * F.log((F.lit(1.0) - F.lit(e) * s) / (F.lit(1.0) + F.lit(e) * s)))
+
+
 def _cea_pixel_area_cols():
     """Closed-form EPSG:6933 pixel area from (lat0, lat1, lon0, lon1)
     columns — same Snyder math as geo.ellipsoid, as JVM column expressions
     (whole-stage codegen; no Python)."""
-    e2, e, a, k0 = _ell.E2, float(_ell.E), _ell.A, float(_ell.K0)
-
-    def q(lat):
-        s = F.sin(F.radians(lat))
-        return F.lit(1.0 - e2) * (
-            s / (F.lit(1.0) - F.lit(e2) * s * s)
-            - F.lit(1.0 / (2.0 * e))
-            * F.log((F.lit(1.0) - F.lit(e) * s) / (F.lit(1.0) + F.lit(e) * s)))
-
+    a, k0 = _ell.A, float(_ell.K0)
     dx = F.lit(a * k0) * (F.radians(F.col("lon1")) - F.radians(F.col("lon0")))
-    dy = F.lit(a) * (q(F.col("lat1")) - q(F.col("lat0"))) / F.lit(2.0 * k0)
+    dy = F.lit(a) * (_q_auth_col(F.col("lat1")) - _q_auth_col(F.col("lat0"))) \
+        / F.lit(2.0 * k0)
     return dx * dy
+
+
+def _pixel_area_cols(epsg: int):
+    """Closed-form projected pixel area from (lat0, lat1, lon0, lon1)
+    columns for ANY of the three EASE CRSes — pure JVM whole-stage codegen,
+    so interior (FULL-cell) pixels never cross into Python regardless of the
+    polygon set's CRS (reference rule /root/reference/xagg/core.py:475-486).
+
+    EPSG:6933: a lat/lon rectangle maps to an exact axis-aligned rectangle
+    -> dx*dy.  EPSG:6931/6932 (polar LAEA): the projected pixel is the
+    straight-edge quad of its four projected corners (gpd ``to_crs`` parity
+    — vertices project, edges stay straight), so area = shoelace of the
+    four corners — the same formula the refine UDF uses for boundary cells,
+    keeping interior and boundary areas mutually consistent."""
+    if epsg == _ell.EPSG_GLOBAL:
+        return _cea_pixel_area_cols()
+    a, qp = _ell.A, float(_ell.QP)
+    north = epsg == _ell.EPSG_NORTH
+
+    def xy(lon, lat):
+        d = F.lit(qp) - _q_auth_col(lat) if north else F.lit(qp) + _q_auth_col(lat)
+        rho = F.lit(a) * F.sqrt(F.greatest(d, F.lit(0.0)))
+        lam = F.radians(lon)
+        return rho * F.sin(lam), (-rho if north else rho) * F.cos(lam)
+
+    xa, ya = xy(F.col("lon0"), F.col("lat0"))
+    xb, yb = xy(F.col("lon1"), F.col("lat0"))
+    xc, yc = xy(F.col("lon1"), F.col("lat1"))
+    xd, yd = xy(F.col("lon0"), F.col("lat1"))
+    return F.abs(xa * (yb - yd) + xb * (yc - ya)
+                 + xc * (yd - yb) + xd * (ya - yc)) / F.lit(2.0)
 
 
 # ---------------------------------------------------------------------------
 # refine UDF
 # ---------------------------------------------------------------------------
 
-def _refine_factory(rings_by_poly: dict, epsg: int):
+def _convex_pieces(quad: np.ndarray) -> list:
+    """Decompose a simple quad into convex clip windows for
+    Sutherland-Hodgman: the quad itself when convex (the near-universal
+    case), else the two triangles along its interior diagonal."""
+    v = np.roll(quad, -1, axis=0) - quad
+    cr = np.cross(v, np.roll(v, -1, axis=0))
+    if np.all(cr >= 0.0) or np.all(cr <= 0.0):
+        return [quad]
+
+    def sa(t):
+        return np.cross(t[1] - t[0], t[2] - t[0])
+
+    t1, t2 = quad[[0, 1, 2]], quad[[0, 2, 3]]
+    if sa(t1) * sa(t2) > 0:
+        return [t1, t2]
+    return [quad[[1, 2, 3]], quad[[1, 3, 0]]]
+
+
+def _refine_factory(rings_by_poly: dict, epsg: int,
+                    signs_by_poly: dict | None = None):
     """Returns a mapInPandas function computing exact EASE-CRS overlap areas.
 
     rings_by_poly: poly_idx -> list of lon/lat rings (raw, unprojected;
-    projection happens here so the broadcast stays small)."""
+    projection happens here so the broadcast stays small).  signs_by_poly:
+    poly_idx -> +1.0 (exterior / disjoint part) or -1.0 (hole) per ring —
+    the reference's GEOS geometries subtract interior rings.
+
+    The projected pixel is the straight-edge quad of its FOUR projected
+    corners (gpd ``to_crs`` projects vertices; edges stay straight —
+    /root/reference/xagg/core.py:395-420, 488-497).  In EPSG:6933 that quad
+    is an exact axis-aligned rectangle; in the polar LAEA CRSes x and y each
+    depend on both lon and lat, so a two-corner axis-aligned box would be
+    wrong by 10-19% per pixel at 70N — all four corners are projected."""
     proj_cache = {}
 
     def get_poly(pidx: int):
@@ -146,11 +208,14 @@ def _refine_factory(rings_by_poly: dict, epsg: int):
                 b = np.roll(ring, -1, axis=0)
                 edges.append(np.concatenate([a, b], axis=1))  # xa,ya,xb,yb
             E = np.concatenate(edges, axis=0)
-            ent = (prj, E)
+            sg = None
+            if signs_by_poly is not None:
+                sg = signs_by_poly.get(pidx)
+            if sg is None:
+                sg = [1.0] * len(prj)
+            ent = (prj, sg, E)
             proj_cache[pidx] = ent
         return ent
-
-    cea = epsg == _ell.EPSG_GLOBAL
 
     def refine(batches):
         for pdf in batches:
@@ -160,53 +225,70 @@ def _refine_factory(rings_by_poly: dict, epsg: int):
             has_w = "weight" in pdf.columns
             out_w = [] if has_w else None
             for pidx, grp in pdf.groupby("poly_idx", sort=False):
-                rings, E = get_poly(int(pidx))
-                x0, y0 = _ell.forward(grp["lon0"].to_numpy(), grp["lat0"].to_numpy(), epsg)
-                x1, y1 = _ell.forward(grp["lon1"].to_numpy(), grp["lat1"].to_numpy(), epsg)
+                rings, signs, E = get_poly(int(pidx))
+                lon0 = grp["lon0"].to_numpy(); lat0 = grp["lat0"].to_numpy()
+                lon1 = grp["lon1"].to_numpy(); lat1 = grp["lat1"].to_numpy()
+                # all FOUR pixel corners, in ring order a->b->c->d
+                cxa, cya = _ell.forward(lon0, lat0, epsg)
+                cxb, cyb = _ell.forward(lon1, lat0, epsg)
+                cxc, cyc = _ell.forward(lon1, lat1, epsg)
+                cxd, cyd = _ell.forward(lon0, lat1, epsg)
                 m = len(grp)
                 area = np.zeros(m)
-                if cea:
-                    # vectorized fast path: axis-aligned pixel rects in CEA
-                    exa = np.minimum(E[:, 0], E[:, 2]); exb = np.maximum(E[:, 0], E[:, 2])
-                    eya = np.minimum(E[:, 1], E[:, 3]); eyb = np.maximum(E[:, 1], E[:, 3])
-                    # suspicious = any edge bbox intersects pixel bbox
-                    CH = 4096
-                    susp = np.zeros(m, dtype=bool)
-                    inside4 = np.zeros(m, dtype=bool)
-                    for s in range(0, m, CH):
-                        e = min(s + CH, m)
-                        ix0, ix1 = x0[s:e, None], x1[s:e, None]
-                        iy0, iy1 = y0[s:e, None], y1[s:e, None]
-                        susp[s:e] = ((ix0 <= exb[None, :]) & (ix1 >= exa[None, :]) &
-                                     (iy0 <= eyb[None, :]) & (iy1 >= eya[None, :])).any(axis=1)
-                        # PIP (crossing number) for the 4 corners
-                        cin = np.ones(e - s, dtype=bool)
-                        for cx, cy in ((ix0, iy0), (ix0, iy1), (ix1, iy0), (ix1, iy1)):
-                            ya, yb = E[None, :, 1], E[None, :, 3]
-                            xa, xb = E[None, :, 0], E[None, :, 2]
-                            cross = (ya > cy) != (yb > cy)
-                            with np.errstate(divide="ignore", invalid="ignore"):
-                                xi = xa + (cy - ya) * (xb - xa) / (yb - ya)
-                            hit = cross & (xi > cx)
-                            cin &= (hit.sum(axis=1) % 2).astype(bool)
-                        inside4[s:e] = cin
-                    full_in = inside4 & ~susp
-                    area[full_in] = (x1[full_in] - x0[full_in]) * (y1[full_in] - y0[full_in])
-                    todo = np.where(susp)[0]
-                else:
-                    todo = np.arange(m)
+                # quad bbox (conservative stand-in for the quad itself)
+                qx0 = np.minimum(np.minimum(cxa, cxb), np.minimum(cxc, cxd))
+                qx1 = np.maximum(np.maximum(cxa, cxb), np.maximum(cxc, cxd))
+                qy0 = np.minimum(np.minimum(cya, cyb), np.minimum(cyc, cyd))
+                qy1 = np.maximum(np.maximum(cya, cyb), np.maximum(cyc, cyd))
+                exa = np.minimum(E[:, 0], E[:, 2]); exb = np.maximum(E[:, 0], E[:, 2])
+                eya = np.minimum(E[:, 1], E[:, 3]); eyb = np.maximum(E[:, 1], E[:, 3])
+                # vectorized fast path: suspicious = any polygon edge bbox
+                # intersects the quad bbox; otherwise the quad is entirely
+                # inside or outside, decided by PIP of its corners
+                CH = 4096
+                susp = np.zeros(m, dtype=bool)
+                inside4 = np.zeros(m, dtype=bool)
+                for s in range(0, m, CH):
+                    e = min(s + CH, m)
+                    susp[s:e] = ((qx0[s:e, None] <= exb[None, :]) &
+                                 (qx1[s:e, None] >= exa[None, :]) &
+                                 (qy0[s:e, None] <= eyb[None, :]) &
+                                 (qy1[s:e, None] >= eya[None, :])).any(axis=1)
+                    # even-odd PIP (crossing number) for the 4 corners —
+                    # counts hole rings too, so "inside" means inside the
+                    # polygon-with-holes region
+                    cin = np.ones(e - s, dtype=bool)
+                    for cx, cy in ((cxa[s:e, None], cya[s:e, None]),
+                                   (cxb[s:e, None], cyb[s:e, None]),
+                                   (cxc[s:e, None], cyc[s:e, None]),
+                                   (cxd[s:e, None], cyd[s:e, None])):
+                        ya, yb = E[None, :, 1], E[None, :, 3]
+                        xa, xb = E[None, :, 0], E[None, :, 2]
+                        cross = (ya > cy) != (yb > cy)
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            xi = xa + (cy - ya) * (xb - xa) / (yb - ya)
+                        hit = cross & (xi > cx)
+                        cin &= (hit.sum(axis=1) % 2).astype(bool)
+                    inside4[s:e] = cin
+                # straight-edge quad shoelace: the exact projected pixel area
+                quad_area = 0.5 * np.abs(cxa * (cyb - cyd) + cxb * (cyc - cya)
+                                         + cxc * (cyd - cyb) + cxd * (cya - cyc))
+                full_in = inside4 & ~susp
+                area[full_in] = quad_area[full_in]
+                todo = np.where(susp)[0]
                 for i in todo:
-                    rect = np.array([[x0[i], y0[i]], [x1[i], y0[i]],
-                                     [x1[i], y1[i]], [x0[i], y1[i]]])
+                    quad = np.array([[cxa[i], cya[i]], [cxb[i], cyb[i]],
+                                     [cxc[i], cyc[i]], [cxd[i], cyd[i]]])
+                    pieces = _convex_pieces(quad)
                     a = 0.0
-                    for ring in rings:
-                        a += _clip.clip_area(ring, rect)
+                    for ring, sgn in zip(rings, signs):
+                        for piece in pieces:
+                            a += sgn * _clip.clip_area(ring, piece)
                     area[i] = a
                 # drop degenerate boundary-touch slivers (GEOS keep_geom_type
                 # drops line/point intersections — core.py:492-496): anything
                 # below 1e-10 of the pixel's own area is FP noise, not overlap
-                pix_area = np.abs((x1 - x0) * (y1 - y0))
-                keep = area > pix_area * 1e-10
+                keep = area > quad_area * 1e-10
                 if keep.any():
                     out_poly.append(np.full(int(keep.sum()), pidx, dtype=np.int64))
                     out_pix.append(grp["pix_idx"].to_numpy()[keep])
@@ -313,14 +395,29 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
     if isinstance(grid, GridSpec):
-        pixel_deg = float(min(abs(grid.dlat), abs(grid.dlon)))
+        dlat_max = dlat_min = abs(grid.dlat)
+        dlon_max = dlon_min = abs(grid.dlon)
     else:
         grid = grid.with_bounds()
-        dl = np.diff(grid.lat).min() if grid.nlat > 1 else 1.0
-        dn = np.diff(grid.lon).min() if grid.nlon > 1 else 1.0
-        pixel_deg = float(min(abs(dl), abs(dn)))
+        wl = np.abs(grid.lat_bnds[:, 1] - grid.lat_bnds[:, 0])
+        wn = grid.lon_bnds[:, 1] - grid.lon_bnds[:, 0]
+        wn = np.where(wn < 0, wn + 360.0, wn)   # antimeridian-wrapped widths
+        dlat_max, dlat_min = float(wl.max()), float(wl.min())
+        dlon_max, dlon_min = float(wn.max()), float(wn.min())
+    pixel_deg = float(min(dlat_min, dlon_min))
+
+    # capture guarantee, PER AXIS: a pixel reaches dlat/2 (dlon/2) beyond
+    # its center, so the 1-ring-dilated cover catches it only when the cell
+    # lat height 180/2^res >= dlat_max/2 AND lon width 360/2^res >=
+    # dlon_max/2.  Anisotropic grids (e.g. dlat=2, dlon=0.5) must be capped
+    # by the COARSE axis — the min-spacing heuristic alone can silently
+    # drop a pixel whose center cell is 2 rows outside the dilated cover.
+    res_cap = int(min(np.floor(np.log2(360.0 / dlat_max)),
+                      np.floor(np.log2(720.0 / dlon_max)),
+                      _cells.MAX_RES))
     if res is None:
         res = _cells.pick_resolution(pixel_deg)
+    res = max(min(res, res_cap), 0)
 
     if pixels is None:
         # finer-than-core-count tasks: the candidate load per pixel range is
@@ -330,22 +427,25 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         pixels = pixel_geometry(spark, grid, weights_pdf=weights_pdf,
                                 num_partitions=nparts)
 
-    # P2 bbox prefilter: pure predicate -> Catalyst pushes it into the scan
-    if subset_bbox:
-        lon_min, lat_min, lon_max, lat_max = polys.total_bounds()
-        pad = 2.0 * pixel_deg
-        pixels = pixels.filter(
-            (F.col("lat") >= lat_min - pad) & (F.col("lat") <= lat_max + pad) &
-            (F.col("lon") >= lon_min - pad) & (F.col("lon") <= lon_max + pad))
-
     epsg = polys.pick_epsg()
 
+    # P2 bbox prefilter: pure predicate -> Catalyst pushes it into the scan.
+    # Pad = half the (max) pixel extent per axis + the polygon edges' max
+    # projected-curve bow: the true boundary is straight in the PROJECTED
+    # CRS and can bow outside the lon/lat vertex bbox by up to max_edge_pad
+    # (zero in EPSG:6933, where projected-straight lines stay monotone in
+    # lon/lat; nonzero for the polar LAEA CRSes).
+    if subset_bbox:
+        lon_min, lat_min, lon_max, lat_max = polys.total_bounds()
+        bow = polys.max_edge_pad()
+        pad_lat = dlat_max / 2.0 + bow + 1e-9
+        pad_lon = dlon_max / 2.0 + bow + 1e-9
+        pixels = pixels.filter(
+            (F.col("lat") >= lat_min - pad_lat) & (F.col("lat") <= lat_max + pad_lat) &
+            (F.col("lon") >= lon_min - pad_lon) & (F.col("lon") <= lon_max + pad_lon))
+
     # polygon cell cover, dilated one ring (guarantees center-cell assignment
-    # of pixels misses nothing when cell size >= pixel size)
-    cell_deg = 360.0 / (1 << res)
-    if cell_deg < pixel_deg:
-        res = _cells.pick_resolution(pixel_deg)
-        cell_deg = 360.0 / (1 << res)
+    # of pixels misses nothing given the per-axis res cap above)
     n = 1 << res
     cover = polys.cell_cover_classified(res)
     if len(cover) == 0:
@@ -373,6 +473,7 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         cand = cand.repartition(salt * spark.sparkContext.defaultParallelism)
 
     rings_by_poly = {i: polys.rings[i] for i in range(len(polys))}
+    signs_by_poly = {i: polys.ring_signs()[i] for i in range(len(polys))}
     fields = [StructField("poly_idx", LongType()), StructField("pix_idx", LongType()),
               StructField("lat", DoubleType()), StructField("lon", DoubleType()),
               StructField("area", DoubleType())]
@@ -384,21 +485,18 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     if has_w:
         cols.append("weight")
 
-    if epsg == _ell.EPSG_GLOBAL:
-        # FULL-cell candidates (pixel provably inside the polygon): overlap
-        # = whole-pixel area, closed form, whole-stage-codegen JVM — never
-        # crosses into Python.  Only boundary-cell candidates hit the UDF.
-        out_cols = ["poly_idx", "pix_idx", "lat", "lon",
-                    _cea_pixel_area_cols().alias("area")] \
-            + ([F.col("weight")] if has_w else [])
-        full_part = cand.filter(F.col("full")).select(*out_cols)
-        edge_cand = cand.filter(~F.col("full"))
-        refined_edge = edge_cand.select(*cols).mapInPandas(
-            _refine_factory(rings_by_poly, epsg), schema)
-        refined = full_part.unionByName(refined_edge)
-    else:
-        refined = cand.select(*cols).mapInPandas(
-            _refine_factory(rings_by_poly, epsg), schema)
+    # FULL-cell candidates (pixel provably inside the polygon): overlap =
+    # whole-pixel area, closed form in ANY EASE CRS, whole-stage-codegen
+    # JVM — never crosses into Python.  Only boundary-cell candidates hit
+    # the refine UDF (O(perimeter) Python, not O(area)).
+    out_cols = ["poly_idx", "pix_idx", "lat", "lon",
+                _pixel_area_cols(epsg).alias("area")] \
+        + ([F.col("weight")] if has_w else [])
+    full_part = cand.filter(F.col("full")).select(*out_cols)
+    edge_cand = cand.filter(~F.col("full"))
+    refined_edge = edge_cand.select(*cols).mapInPandas(
+        _refine_factory(rings_by_poly, epsg, signs_by_poly), schema)
+    refined = full_part.unionByName(refined_edge)
 
     # antimeridian halves add up; then window-normalize per polygon (A1)
     aggs = [F.sum("area").alias("area")]

@@ -22,6 +22,21 @@ from .geo import clip as _clip
 from .geo import ellipsoid as _ell
 
 
+def _ring_signed_area(r: np.ndarray) -> float:
+    x, y = r[:, 0], r[:, 1]
+    return float(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _point_in_ring(px: float, py: float, r: np.ndarray) -> bool:
+    """Even-odd crossing test of a point against one lon/lat ring."""
+    x0, y0 = r[:, 0], r[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    cross = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    return bool((cross & (xi > px)).sum() % 2)
+
+
 def rect_ring(lon0: float, lat0: float, lon1: float, lat1: float) -> np.ndarray:
     """CCW rectangle ring (lon/lat)."""
     return np.array([[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1]],
@@ -65,6 +80,30 @@ class PolygonSet:
             self.attrs = pd.DataFrame(index=range(n))
         self.attrs = self.attrs.reset_index(drop=True)
         self.attrs["poly_idx"] = np.arange(n, dtype=np.int64)
+        # classify rings by containment-depth parity among the polygon's own
+        # rings: even depth = exterior / disjoint part (+1), odd = hole (-1)
+        # — the reference's GEOS geometries subtract interior rings.  Then
+        # normalize orientation (exterior CCW, hole CW) so signed shoelace
+        # math downstream (centroids, signed clip sums) is consistent
+        # regardless of the input convention (ESRI shapefiles are CW-
+        # exterior, GeoJSON is CCW-exterior).
+        self._signs = []
+        for poly in self.rings:
+            sg = []
+            for i, r in enumerate(poly):
+                depth = sum(_point_in_ring(r[0, 0], r[0, 1], o)
+                            for j, o in enumerate(poly)
+                            if j != i and len(o) >= 3)
+                sg.append(-1.0 if depth % 2 else 1.0)
+            self._signs.append(sg)
+        for poly, sg in zip(self.rings, self._signs):
+            for k, r in enumerate(poly):
+                if (sg[k] > 0) != (_ring_signed_area(r) >= 0):
+                    poly[k] = np.ascontiguousarray(r[::-1])
+
+    def ring_signs(self) -> list:
+        """Per-polygon list of +1.0 (exterior/part) / -1.0 (hole) per ring."""
+        return self._signs
 
     def __len__(self):
         return len(self.rings)
@@ -101,6 +140,14 @@ class PolygonSet:
             self._pads_cache = pads
         return pads
 
+    def max_edge_pad(self) -> float:
+        """Max projected-curve bow (degrees) over every ring edge — how far
+        the true (projected-straight) boundary can leave the lon/lat vertex
+        bbox.  Zero-ish for EPSG:6933, nonzero for the polar LAEA CRSes."""
+        vals = [float(np.max(p)) for poly in self._edge_pads()
+                for p in poly if len(p)]
+        return max(vals) if vals else 0.0
+
     def cell_cover(self, res: int, dilate: bool = False) -> pd.DataFrame:
         """(poly_idx, cell_id) cover rows for the broadcast prefilter.
         dilate=True adds the 1-cell safety ring needed by center-cell pixel
@@ -122,27 +169,17 @@ class PolygonSet:
     def cell_cover_classified(self, res: int) -> pd.DataFrame:
         """(poly_idx, cell_id, full) — dilated cover with the safe-interior
         flag: pixels centered in a FULL cell lie entirely inside the
-        polygon, so their overlap area needs no clipping (JVM fast path).
-        For MultiPolygons full = full in ANY disjoint part."""
+        polygon-with-holes, so their overlap area needs no clipping (JVM
+        fast path).  All rings of a polygon (disjoint parts AND holes) are
+        classified together with even-odd parity, so hole interiors are
+        excluded and hole boundaries demote cells to edge."""
         pads = self._edge_pads()
         pi_parts, ci_parts, fu_parts = [], [], []
         for i, poly in enumerate(self.rings):
-            parts = [_cells.cover_polygon_classified(r[:, 0], r[:, 1], res,
-                                                     pads=pd_)
-                     for r, pd_ in zip(poly, pads[i])]
-            parts = [(ids, full) for ids, full in parts if len(ids)]
-            if not parts:
+            ids, full = _cells.cover_polygon_classified(poly, res,
+                                                        pads_list=pads[i])
+            if not len(ids):
                 continue
-            if len(parts) == 1:
-                ids, full = parts[0]
-            else:
-                allids = np.concatenate([p[0] for p in parts])
-                allfull = np.concatenate([p[1] for p in parts])
-                order = np.argsort(allids, kind="stable")
-                allids, allfull = allids[order], allfull[order]
-                ids, inv = np.unique(allids, return_inverse=True)
-                full = np.zeros(len(ids), dtype=bool)
-                np.maximum.at(full, inv, allfull)
             pi_parts.append(np.full(len(ids), i, dtype=np.int64))
             ci_parts.append(ids)
             fu_parts.append(full)
