@@ -77,3 +77,41 @@ def test_resumed_wm_aggregates_identically(spark, tmp_path):
     a = aggregate(pix, wm_r).orderBy("poly_idx", "t").toPandas()
     b = aggregate(pix, wm_d).orderBy("poly_idx", "t").toPandas()
     assert np.allclose(a["value"], b["value"], atol=1e-12)
+
+def test_resume_with_weights_threads_weight_column(spark, tmp_path):
+    """Round-2 fix: the bucketed path must thread the additional weight grid
+    through refine and the checkpoint — previously has_weights was True but
+    no weight column existed, so aggregate() failed on an unresolved
+    column.  Also: the stitch normalization must be window-free (the same
+    groupBy + broadcast join-back as the main path)."""
+    from xagg_spark.codecs import encode_tile
+    from xagg_spark.operators import tiles_to_pixels
+    from xagg_spark.synth import value_fn
+
+    iy, ix = np.meshgrid(np.arange(GRID.nlat), np.arange(GRID.nlon),
+                         indexing="ij")
+    weights = pd.DataFrame({
+        "pix_idx": (iy * GRID.nlon + ix).ravel().astype(np.int64),
+        "weight": (((ix + iy) % 2) + 0.5).ravel().astype(np.float64)})
+
+    ck = str(tmp_path / "ckw")
+    wm_r, _ = resume_pixel_overlaps(spark, GRID, _polys(), ck, n_buckets=3,
+                                    weights_pdf=weights)
+    assert wm_r.has_weights and "weight" in wm_r.overlaps.columns
+    # stitched plan is window-free (no one-partition-per-polygon skew)
+    plan = wm_r.overlaps._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+    wm_d = pixel_overlaps(spark, GRID, _polys(), weights_pdf=weights)
+    rows = []
+    for t in range(2):
+        tiy, tix = GRID.tile_pixel_indices(0, 0)
+        arr = value_fn(tix, tiy, t)
+        rows.append({"image_id": f"tile_test_{t:04d}_00000_00000",
+                     "bytes": encode_tile(arr, "raw32"), "w": 8, "h": 8,
+                     "fmt": "raw32", "caption": "c", "phash": 0})
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+    pix = tiles_to_pixels(imgs, GRID)
+    a = aggregate(pix, wm_r).orderBy("poly_idx", "t").toPandas()
+    b = aggregate(pix, wm_d).orderBy("poly_idx", "t").toPandas()
+    assert np.allclose(a["value"], b["value"], atol=1e-12)

@@ -105,15 +105,14 @@ def read_wm(spark: SparkSession, path: str):
     if "poly_idx" in attrs.columns:
         attrs = attrs.drop(columns=["poly_idx"])
     polys = PolygonSet(rings, attrs)
-    wm = WeightMap(overlaps=overlaps, polys=polys,
-                   grid=_grid_from_dict(man["grid"]), epsg=man["epsg"],
-                   has_weights=man["has_weights"])
-    # integrity check against lineage
+    # integrity check against lineage; count doubles as the carried n_rows
     n = overlaps.count()
     if n != man["lineage"]["total_rows"]:
         raise ValueError(f"weightmap at {path} is corrupt: {n} rows vs "
                          f"{man['lineage']['total_rows']} in manifest")
-    return wm
+    return WeightMap(overlaps=overlaps, polys=polys,
+                     grid=_grid_from_dict(man["grid"]), epsg=man["epsg"],
+                     has_weights=man["has_weights"], n_rows=n)
 
 
 # ---------------------------------------------------------------------------
@@ -159,8 +158,12 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         pix_b = pixels_all.filter(F.pmod(F.col("pix_idx"), F.lit(n_buckets)) == b)
         from ..operators.overlaps import NoOverlapError
         try:
+            # pixels_all already carries the weight column (built with
+            # weights_pdf above): tell pixel_overlaps so refine threads it
+            # through and the bucket checkpoint persists it
             wm_b = pixel_overlaps(spark, grid, polys, weights_pdf=None,
-                                  pixels=pix_b, raw_areas=True)
+                                  pixels=pix_b, raw_areas=True,
+                                  pixels_have_weights=weights_pdf is not None)
             wm_b.overlaps.write.mode("overwrite").parquet(part)
             # per-bucket lineage: row count + area checksum (north_rule:
             # "per-partition lineage: cell range, row counts, overlap-weight
@@ -174,12 +177,14 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             wm_b.overlaps.unpersist()
         except NoOverlapError:
             # bucket with no overlaps: write an empty marker partition
-            empty = spark.createDataFrame(
-                pd.DataFrame({"poly_idx": pd.Series(dtype="int64"),
-                              "pix_idx": pd.Series(dtype="int64"),
-                              "lat": pd.Series(dtype="float64"),
-                              "lon": pd.Series(dtype="float64"),
-                              "area": pd.Series(dtype="float64")}))
+            cols = {"poly_idx": pd.Series(dtype="int64"),
+                    "pix_idx": pd.Series(dtype="int64"),
+                    "lat": pd.Series(dtype="float64"),
+                    "lon": pd.Series(dtype="float64"),
+                    "area": pd.Series(dtype="float64")}
+            if weights_pdf is not None:
+                cols["weight"] = pd.Series(dtype="float64")
+            empty = spark.createDataFrame(pd.DataFrame(cols))
             empty.write.mode("overwrite").parquet(part)
         state["done"].append(key)
         computed += 1
@@ -189,16 +194,22 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         os.replace(tmp, state_path)
 
     # stitch: buckets hold RAW clip areas; normalize globally per polygon
-    # (exact A1 semantics — identical to the non-resumable path)
+    # (exact A1 semantics — identical to the non-resumable path).  Same
+    # window-free normalization as pixel_overlaps: a Window.partitionBy
+    # (poly_idx) would put a domain-scale polygon's millions of rows in one
+    # partition — aggregate tiny per-polygon totals with map-side partials
+    # and broadcast them back instead.
     parts = [os.path.join(checkpoint, f"bucket={b}") for b in range(n_buckets)]
-    dfs = spark.read.parquet(*[p for p in parts if os.path.exists(os.path.join(p, "_SUCCESS"))])
-    if dfs.limit(1).count() == 0:
+    dfs = spark.read.parquet(*[p for p in parts if os.path.exists(os.path.join(p, "_SUCCESS"))]).persist()
+    n_rows = dfs.count()
+    if n_rows == 0:
         from ..operators.overlaps import NoOverlapError
         raise NoOverlapError("no overlaps in any bucket")
-    from pyspark.sql import Window
-    w = Window.partitionBy("poly_idx")
-    overlaps = (dfs.withColumn("rel_area", F.col("area") / F.sum("area").over(w))
-                   .drop("area"))
+    totals = dfs.groupBy("poly_idx").agg(F.sum("area").alias("_tot"))
+    overlaps = (dfs.join(F.broadcast(totals), "poly_idx")
+                   .withColumn("rel_area", F.col("area") / F.col("_tot"))
+                   .drop("area", "_tot"))
     epsg = polys.pick_epsg()
-    return WeightMap(overlaps=overlaps.persist(), polys=polys, grid=grid,
-                     epsg=epsg, has_weights=weights_pdf is not None), computed
+    return WeightMap(overlaps=overlaps, polys=polys, grid=grid,
+                     epsg=epsg, has_weights=weights_pdf is not None,
+                     n_rows=n_rows), computed

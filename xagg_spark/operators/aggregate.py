@@ -89,15 +89,15 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
                    F.count(F.lit(1)).alias("_n_nan")))
 
     # 4. fact ⨝ overlaps on pix_idx.  When the overlap side fits a
-    #    broadcast (auto: row count vs threshold — cheap when the caller's
-    #    pixel_overlaps persisted it), the fact table never shuffles at all
-    #    and the final aggregate is map-side partial + a tiny reduce.
+    #    broadcast, the fact table never shuffles at all and the final
+    #    aggregate is map-side partial + a tiny reduce.  The decision uses
+    #    the row count CARRIED on the WeightMap (pixel_overlaps/read_wm set
+    #    it) — never an eager count() here, which would re-execute the
+    #    whole overlap DAG when the caller did not persist it.
     if broadcast_overlaps is None:
-        try:
-            broadcast_overlaps = (wm.overlaps.count()
-                                  <= BROADCAST_OVERLAPS_MAX_ROWS)
-        except Exception:
-            broadcast_overlaps = False
+        n_rows = getattr(wm, "n_rows", None)
+        broadcast_overlaps = (n_rows is not None
+                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
     joined = pix_values.join(F.broadcast(ov) if broadcast_overlaps else ov,
                              "pix_idx")
 

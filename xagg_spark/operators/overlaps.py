@@ -323,6 +323,9 @@ class WeightMap:
     grid: object                  # GridSpec | AxesGrid
     epsg: int
     has_weights: bool = False
+    n_rows: int | None = None     # overlap row count, carried so aggregate()
+                                  # never re-executes the overlap DAG just to
+                                  # pick a join strategy
 
     def agg_pandas(self) -> pd.DataFrame:
         """Reconstitute the xagg-shaped `wm.agg` frame (lists per polygon,
@@ -383,13 +386,17 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                    subset_bbox: bool = True,
                    salt: int = 0,
                    pixels: DataFrame | None = None,
-                   raw_areas: bool = False) -> WeightMap:
+                   raw_areas: bool = False,
+                   pixels_have_weights: bool = False) -> WeightMap:
     """Build the weightmap (facade, reference wrappers.py:10-104).
 
     grid: GridSpec or AxesGrid.  polys: PolygonSet.  weights_pdf: optional
     (pix_idx, weight) additional weight grid already on this grid (different
     grids go through operators.regrid first).  salt>0 repartitions candidates
     to `salt` x parallelism before the refine UDF for hot-cell skew.
+    pixels_have_weights: set when a caller-supplied ``pixels`` DataFrame
+    already carries a weight column (the resumable bucketed path), so the
+    weight is threaded through refine and checkpointed.
     """
     if len(polys) == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
@@ -477,7 +484,7 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     fields = [StructField("poly_idx", LongType()), StructField("pix_idx", LongType()),
               StructField("lat", DoubleType()), StructField("lon", DoubleType()),
               StructField("area", DoubleType())]
-    has_w = weights_pdf is not None
+    has_w = weights_pdf is not None or (pixels is not None and pixels_have_weights)
     if has_w:
         fields.append(StructField("weight", DoubleType()))
     schema = StructType(fields)
@@ -524,11 +531,15 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                           .withColumn("rel_area", F.col("area") / F.col("_tot"))
                           .drop("area", "_tot"))
 
-    if overlaps.limit(1).count() == 0:
+    # full count (not limit(1)): materializes the persisted refine output
+    # once and is carried on the WeightMap so downstream join-strategy
+    # decisions never re-execute the overlap DAG
+    n_rows = overlaps.count()
+    if n_rows == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
     return WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
-                     has_weights=has_w)
+                     has_weights=has_w, n_rows=n_rows)
 
 
 # ---------------------------------------------------------------------------
