@@ -104,15 +104,17 @@ def test_polar_interior_uses_jvm_fast_path(spark):
     polys = PolygonSet([ring], pd.DataFrame({"name": ["arctic"]}))
     grid = GridSpec(lat_edge=60.0, lon_edge=0.0, dlat=0.25, dlon=0.25,
                     nlat=80, nlon=160, tile_h=10, tile_w=10)
-    wm = pixel_overlaps(spark, grid, polys)
+    # raw_areas=True keeps the logical plan visible (the normalized path
+    # local-checkpoints into a LogicalRDD, hiding the operator tree)
+    wm = pixel_overlaps(spark, grid, polys, raw_areas=True)
     assert wm.epsg == _ell.EPSG_NORTH
     plan = wm.overlaps._jdf.queryExecution().optimizedPlan().toString()
-    # persist caches the union; its cached AQE subtree may print the
-    # MapInPandas branch twice (initial+final) — assert the Union survived
-    # the optimizer (i.e. the full branch is non-empty) and the closed-form
-    # area expression is JVM-side (SIN/LOG in the plan, not in Python)
+    # assert the Union survived the optimizer (i.e. the full branch is
+    # non-empty) and the closed-form area expression is JVM-side (SIN/LOG
+    # column expressions in the plan, not Python)
     assert "Union" in plan
     assert "MapInPandas" in plan
+    assert "SIN(RADIANS(" in plan
     # and interior really is the bulk: full cells exist in the cover
     cover = polys.cell_cover_classified(9)
     assert cover["full"].sum() > 0

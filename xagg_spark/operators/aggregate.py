@@ -15,12 +15,12 @@ Reproduces the reference's default ``impl='for_loop'`` semantics
 
 Physical plan (byte-traffic-minimal form):
 
-  all-NaN pixels are detected in one narrow aggregate over the fact table
-  and are typically ~0 rows, so the per-(poly[,var]) denominators are
-  computed as  tot_w(poly) - nan_w(poly[,var])  from TINY broadcast tables —
-  the overlap table is never shuffled against a per-pixel mask.  The only
-  large shuffle is the unavoidable fact ⨝ overlaps equi-join on pix_idx,
-  followed by one partial+final hash aggregate per (poly_idx, dims).
+  ONE fact ⨝ overlaps equi-join on pix_idx (broadcast when the weightmap
+  fits, so the fact table never shuffles), feeding TWO hash aggregates that
+  share the exchange (Spark ReusedExchange): the numerator aggregate per
+  (poly_idx, dims), and a two-level valid-pixel aggregate producing the
+  per-(poly[, var]) denominators.  Everything after is tiny broadcast
+  joins.  No pass ever scans the fact table or the weightmap twice.
 
 All-variable aggregation happens in a single pass (reference loops vars but
 reuses the weightmap, core.py:718-721).
@@ -41,12 +41,17 @@ def _finite(c):
     return ~F.isnan(c) & c.isNotNull()
 
 
-# auto-broadcast threshold for the overlap side: small weightmaps skip the
-# fact-table exchange entirely.  Local A/B at 3.8M rows showed parity (the
-# broadcast build offsets the saved local shuffle), so the default favors
-# broadcast only when it is unambiguously cheap; on a real cluster (network
-# shuffle) callers should raise it or pass broadcast_overlaps=True.
-BROADCAST_OVERLAPS_MAX_ROWS = 1_000_000
+# auto-broadcast threshold for the overlap side: when the weightmap fits a
+# broadcast, the (usually vastly larger) fact table never shuffles and the
+# final aggregate is map-side partial + a tiny reduce.  5M rows ~= 250 MB
+# hash relation (5 numeric cols) — comfortably broadcastable, and on a real
+# cluster shipping 250 MB to each executor beats shuffling a multi-TB fact
+# table by orders of magnitude.  Re-measured at 3.8M rows on local[32] with
+# the weightmap persisted: broadcast 5.3s vs shuffle join 13.5s.  Weightmaps
+# above the threshold (continental 0.01-degree grids) take the shuffle join;
+# co-partitioning both sides on pix_idx at write time removes that exchange
+# too (io.tables bucketing).
+BROADCAST_OVERLAPS_MAX_ROWS = 5_000_000
 
 
 def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
@@ -70,30 +75,12 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
 
     v = F.col(value_col)
 
-    # 1. all-NaN pixels per (pix[, var]) — for_loop's `.all(other_dims)`
-    #    mask (core.py:812); narrow aggregate, usually ~empty
-    allnan = (pix_values
-              .groupBy("pix_idx", *vkeys)
-              .agg(F.max(F.when(_finite(v), 1).otherwise(0)).alias("_af"))
-              .filter(F.col("_af") == 0)
-              .select("pix_idx", *vkeys))
-
-    # 2. per-polygon totals from the overlap table alone (map-side partials)
-    tot = ov.groupBy("poly_idx").agg(F.sum("_w").alias("_tot"),
-                                     F.count(F.lit(1)).alias("_n_rows"))
-
-    # 3. weight/count of all-NaN pixels per (poly[, var]) — tiny join
-    nanw = (ov.join(F.broadcast(allnan), "pix_idx")
-              .groupBy("poly_idx", *vkeys)
-              .agg(F.sum("_w").alias("_nanw"),
-                   F.count(F.lit(1)).alias("_n_nan")))
-
-    # 4. fact ⨝ overlaps on pix_idx.  When the overlap side fits a
-    #    broadcast, the fact table never shuffles at all and the final
-    #    aggregate is map-side partial + a tiny reduce.  The decision uses
-    #    the row count CARRIED on the WeightMap (pixel_overlaps/read_wm set
-    #    it) — never an eager count() here, which would re-execute the
-    #    whole overlap DAG when the caller did not persist it.
+    # fact ⨝ overlaps on pix_idx.  When the overlap side fits a broadcast,
+    # the fact table never shuffles at all and both aggregates below are
+    # map-side partial + a tiny reduce.  The decision uses the row count
+    # CARRIED on the WeightMap (pixel_overlaps/read_wm set it) — never an
+    # eager count() here, which would re-execute the whole overlap DAG when
+    # the caller did not persist it.
     if broadcast_overlaps is None:
         n_rows = getattr(wm, "n_rows", None)
         broadcast_overlaps = (n_rows is not None
@@ -101,21 +88,34 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     joined = pix_values.join(F.broadcast(ov) if broadcast_overlaps else ov,
                              "pix_idx")
 
+    # numerators: one hash aggregate per (poly_idx, dims)
     res = (joined.groupBy("poly_idx", *dims)
                  .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s")))
 
-    # attach denominators / valid counts from the tiny broadcast tables:
-    # denom = tot - nanw  (== sum over valid pixels; normalize drop_na,
-    # auxfuncs.py:10-53); NaN result when no valid pixels; 0.0 when valid
-    # pixels exist but every term was NaN or denom == 0 (xarray skipna sum)
-    res = (res.join(F.broadcast(tot), "poly_idx")
-              .join(F.broadcast(nanw), ["poly_idx"] + vkeys, "left")
-              .withColumn("_denom", F.col("_tot") - F.coalesce("_nanw", F.lit(0.0)))
-              .withColumn("_n_valid",
-                          F.col("_n_rows") - F.coalesce("_n_nan", F.lit(0)))
+    # denominators (for_loop NaN semantics, core.py:812 + normalize
+    # drop_na, auxfuncs.py:10-53): a pixel is VALID for (poly[, var]) iff
+    # it has >= 1 finite value across the non-loc dims; denom = sum of _w
+    # over valid pixels.  Computed as a second two-level aggregate over the
+    # SAME joined tree — Spark reuses the broadcast/shuffle exchange, so
+    # this costs one extra aggregate, not a second fact-table scan + the
+    # old 3-pass allnan/tot/nanw scheme (2 weightmap scans + a full decode
+    # pass, ~11s at bench scale).  Pixels absent from the fact table are
+    # treated as all-NaN (excluded), matching the reference where every
+    # stacked loc carries (possibly NaN) values.
+    level1 = (joined.groupBy("poly_idx", "pix_idx", *vkeys)
+                    .agg(F.first("_w").alias("_w"),
+                         F.max(F.when(_finite(v), 1).otherwise(0)).alias("_af")))
+    denom = (level1.filter(F.col("_af") == 1)
+                   .groupBy("poly_idx", *vkeys)
+                   .agg(F.sum("_w").alias("_denom"),
+                        F.count(F.lit(1)).alias("_n_valid")))
+
+    # NaN result when no valid pixels; 0.0 when valid pixels exist but
+    # every term at this dim was NaN or denom == 0 (xarray skipna sum)
+    res = (res.join(F.broadcast(denom), ["poly_idx"] + vkeys, "left")
               .withColumn(
                   value_col,
-                  F.when(F.col("_n_valid") == 0, _nan())
+                  F.when(F.coalesce(F.col("_n_valid"), F.lit(0)) == 0, _nan())
                    .when(F.col("_denom") == 0.0, F.lit(0.0))
                    .otherwise(F.coalesce(F.col("_s") / F.col("_denom"),
                                          F.lit(0.0))))
@@ -126,7 +126,13 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     # dim_space comes from the (tiny) result, not another fact-table scan.
     spark = pix_values.sparkSession
     attrs = spark.createDataFrame(wm.polys.attrs)
-    res = res.persist()
+    # materialize the (tiny: polys x dims) result ONCE before it fans out
+    # into the dim-space branch and the final join — otherwise the two
+    # branches race ahead of the cache and the whole fact-join pipeline
+    # runs twice.  localCheckpoint (not persist) also truncates lineage, so
+    # the merge below schedules bare block-read tasks instead of dragging
+    # the full decode/join closure into every task.
+    res = res.localCheckpoint(eager=True)
     dim_space = res.select(*dims).distinct()
     full = F.broadcast(attrs).crossJoin(F.broadcast(dim_space))
     out = (full.join(res, on=["poly_idx"] + dims, how="left")

@@ -522,18 +522,29 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     else:
         # A1 normalization WITHOUT a window: a window partitioned by
         # poly_idx would put a domain-scale polygon's millions of rows in
-        # one partition.  Persist the refined table (it feeds two passes),
-        # aggregate tiny per-polygon totals with map-side partials, and
-        # broadcast them back.
+        # one partition.  Persist the refined table (it feeds the totals
+        # pass AND the join-back), aggregate tiny per-polygon totals with
+        # map-side partials, and broadcast them back.
         summed = summed.persist()
         totals = summed.groupBy("poly_idx").agg(F.sum("area").alias("_tot"))
         overlaps = (summed.join(F.broadcast(totals), "poly_idx")
                           .withColumn("rel_area", F.col("area") / F.col("_tot"))
                           .drop("area", "_tot"))
+        # LOCAL CHECKPOINT the normalized table: materializes it once AND
+        # truncates lineage.  aggregate() scans the weightmap repeatedly
+        # (broadcast build + two aggregates); with plain persist every task
+        # still deserializes the full decode/refine/broadcast lineage in
+        # its closure — measured ~35 ms/task of pure deserialization, i.e.
+        # seconds per action at 32+ partitions.  After checkpoint the task
+        # closure is a bare block read.  (On a cluster the weightmap is
+        # persisted via save_weightmap for fault tolerance; the checkpoint
+        # here is the in-session working copy.)
+        overlaps = overlaps.localCheckpoint(eager=True)
+        summed.unpersist()          # checkpoint supersedes the cache
 
-    # full count (not limit(1)): materializes the persisted refine output
-    # once and is carried on the WeightMap so downstream join-strategy
-    # decisions never re-execute the overlap DAG
+    # count is served from the checkpointed blocks and carried on the
+    # WeightMap so downstream join-strategy decisions never re-execute the
+    # overlap DAG
     n_rows = overlaps.count()
     if n_rows == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
