@@ -46,6 +46,7 @@ def _qpolys() -> PolygonSet:
 E2 = repr(_ell.E2)
 E = repr(float(_ell.E))
 A = repr(_ell.A)
+QP = repr(float(_ell.QP))
 
 
 def _q_sql(lat: str) -> str:
@@ -153,17 +154,12 @@ GROUP BY o.poly_idx, ts.t
 """
 
 
-def q_aggregate_weighted_mean_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 NaN semantics: value NaN when (ix+iy+t)%11==0; for_loop weights
-    stay normalized over all pixels (no pixel is all-NaN across t), NaN terms
-    drop out of the sum."""
-    from .operators import aggregate, tiles_to_pixels
+def _nan_imgs(spark, ntime=3):
+    """Deterministic tile table with NaN holes at (ix+iy+t)%11==0."""
     from .codecs import encode_tile
     from .synth import value_fn, image_id, caption_for
-    wm = _wm(spark)
-
     rows = []
-    for t in range(3):
+    for t in range(ntime):
         for ty in range(QGRID.ntiles_y):
             for tx in range(QGRID.ntiles_x):
                 iy, ix = QGRID.tile_pixel_indices(ty, tx)
@@ -174,8 +170,16 @@ def q_aggregate_weighted_mean_nan(spark: SparkSession, sf_dir: str) -> DataFrame
                              "w": arr.shape[1], "h": arr.shape[0], "fmt": "raw32",
                              "caption": caption_for("test", t, ty, tx, QGRID),
                              "phash": 0})
-    imgs = spark.createDataFrame(pd.DataFrame(rows))
-    pix = tiles_to_pixels(imgs, QGRID)
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def q_aggregate_weighted_mean_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 NaN semantics: value NaN when (ix+iy+t)%11==0; for_loop weights
+    stay normalized over all pixels (no pixel is all-NaN across t), NaN terms
+    drop out of the sum."""
+    from .operators import aggregate, tiles_to_pixels
+    wm = _wm(spark)
+    pix = tiles_to_pixels(_nan_imgs(spark), QGRID)
     out = aggregate(pix, wm, dims=("var", "t"))
     return out.select("poly_idx", F.col("t").cast("long").alias("t"),
                       F.round("value", 6).alias("value"))
@@ -188,6 +192,33 @@ SELECT o.poly_idx, ts.t,
        round(sum(CASE WHEN (o.ix + o.iy + ts.t) % 11 <> 0
                       THEN {value_sql('o.ix', 'o.iy', 'ts.t')} * o.area ELSE 0 END)
              / sum(o.area), 6) AS value
+FROM ov o CROSS JOIN ts
+GROUP BY o.poly_idx, ts.t
+"""
+
+
+def q_aggregate_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: impl='dot_product' — weights masked per (pixel, timestep), so a
+    NaN value drops its pixel's weight at that timestep ONLY (reference
+    core.py:745, `weights_and_overlaps.where(var_array.notnull(), 0)`).
+    Diverges from for_loop on the same partial-NaN input (oracle
+    denominators are per-t, vs per-pixel-validity in the for_loop twin)."""
+    from .operators import aggregate, tiles_to_pixels
+    wm = _wm(spark)
+    pix = tiles_to_pixels(_nan_imgs(spark), QGRID)
+    out = aggregate(pix, wm, dims=("var", "t"), impl="dot_product")
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.round("value", 6).alias("value"))
+
+
+SQL_AGG_DOT = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()},
+ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(3))
+SELECT o.poly_idx, ts.t,
+       round(sum(CASE WHEN (o.ix + o.iy + ts.t) % 11 <> 0
+                      THEN {value_sql('o.ix', 'o.iy', 'ts.t')} * o.area ELSE 0 END)
+             / sum(CASE WHEN (o.ix + o.iy + ts.t) % 11 <> 0
+                        THEN o.area ELSE 0 END), 6) AS value
 FROM ov o CROSS JOIN ts
 GROUP BY o.poly_idx, ts.t
 """
@@ -357,6 +388,86 @@ def _sql_antimeridian() -> str:
             f"CAST(lat0 AS DOUBLE) AS lat0, CAST(lat1 AS DOUBLE) AS lat1, "
             f"CAST(lon0 AS DOUBLE) AS lon0, CAST(lon1 AS DOUBLE) AS lon1 "
             f"FROM (VALUES {vals}) AS t(pix_idx, lat0, lat1, lon0, lon1)")
+
+
+# polar (EPSG:6931) weightmap ------------------------------------------------
+#
+# Strictly-northern grid + polygon -> the engine must pick the north LAEA
+# CRS (reference rule core.py:475-486) and compute projected-quad areas.
+# The polygon is a lon/lat rectangle DENSIFIED at every pixel corner, so its
+# projected straight edges coincide exactly with pixel edges: every overlap
+# is a full pixel whose LAEA 4-corner shoelace area the oracle recomputes
+# analytically in SQL.  (Partial boundary overlaps in LAEA are validated
+# against independent dense sampling in tests/test_polar_holes.py — a
+# lon/lat chord is NOT projection-straight, so they have no closed form.)
+
+PGRID = GridSpec(lat_edge=40.0, lon_edge=0.0, dlat=0.5, dlon=0.5,
+                 nlat=50, nlon=100, tile_h=25, tile_w=25)
+P_LON0, P_LAT0, P_LON1, P_LAT1 = 10.0, 45.0, 41.0, 61.0
+
+
+def _polar_poly() -> PolygonSet:
+    step = 0.5
+    lons = np.arange(P_LON0, P_LON1 + step / 2, step)
+    lats = np.arange(P_LAT0, P_LAT1 + step / 2, step)
+    ring = np.concatenate([
+        np.stack([lons, np.full(len(lons), P_LAT0)], axis=1),
+        np.stack([np.full(len(lats) - 2, P_LON1), lats[1:-1]], axis=1),
+        np.stack([lons[::-1], np.full(len(lons), P_LAT1)], axis=1),
+        np.stack([np.full(len(lats) - 2, P_LON0), lats[1:-1][::-1]], axis=1),
+    ])
+    return PolygonSet([ring], pd.DataFrame({"name": ["polar_rect"]}))
+
+
+def q_pixel_overlaps_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+G3 in the north LAEA CRS: cover join + unified full/edge split +
+    projected-quad areas + window-free normalization, all at EPSG:6931."""
+    from .operators import pixel_overlaps
+    wm = pixel_overlaps(spark, PGRID, _polar_poly())
+    assert wm.epsg == _ell.EPSG_NORTH
+    return wm.overlaps.select(
+        "poly_idx", "pix_idx",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        F.round("rel_area", 7).alias("rel_area"))
+
+
+def _laea_xy_sql(lon: str, lat: str):
+    """North-LAEA forward as SQL (Snyder 24-23/24 with authalic q)."""
+    rho = f"({A}*sqrt(greatest({QP} - {_q_sql(lat)}, 0.0)))"
+    return (f"({rho}*sin(radians({lon})))", f"(-{rho}*cos(radians({lon})))")
+
+
+def _laea_quad_area_sql() -> str:
+    xa, ya = _laea_xy_sql("lon0", "lat0")
+    xb, yb = _laea_xy_sql("lon1", "lat0")
+    xc, yc = _laea_xy_sql("lon1", "lat1")
+    xd, yd = _laea_xy_sql("lon0", "lat1")
+    return (f"(abs({xa}*({yb}-{yd}) + {xb}*({yc}-{ya}) "
+            f"+ {xc}*({yd}-{yb}) + {xd}*({ya}-{yc})) / 2.0)")
+
+
+SQL_PIXEL_OVERLAPS_POLAR = f"""
+WITH pix AS (
+  SELECT CAST(range AS BIGINT) AS pix_idx,
+         40.0 + ((range // 100) + 0.5) * 0.5 AS lat,
+         0.0 + ((range % 100) + 0.5) * 0.5 AS lon,
+         40.0 + (range // 100) * 0.5 AS lat0,
+         40.0 + ((range // 100) + 1) * 0.5 AS lat1,
+         0.0 + (range % 100) * 0.5 AS lon0,
+         0.0 + ((range % 100) + 1) * 0.5 AS lon1
+  FROM range({PGRID.nlat * PGRID.nlon})
+),
+ov AS (
+  SELECT CAST(0 AS BIGINT) AS poly_idx, pix_idx, lat, lon,
+         {_laea_quad_area_sql()} AS area
+  FROM pix
+  WHERE lat0 >= {P_LAT0} AND lat1 <= {P_LAT1}
+    AND lon0 >= {P_LON0} AND lon1 <= {P_LON1}
+)
+SELECT poly_idx, pix_idx, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       round(area / sum(area) OVER (), 7) AS rel_area
+FROM ov
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -674,6 +785,97 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
 """
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: sign-LSH bucket candidates (similarity.py
+    lsh_bucket_candidates) + exact re-rank inside the bucket, scored as
+    recall@10 against the brute-force top-10.  Validates the bucketed path
+    end-to-end: deterministic pseudo-hyperplane buckets, candidate
+    generation, re-rank.  Output: (q_id, n_candidates, recall)."""
+    from .operators.similarity import _cos_expr, lsh_bucket_candidates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = lsh_bucket_candidates(emb, n_planes=4)
+    queries = (b.filter(F.col("vec_id") < 5)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec"),
+                        F.col("bucket").alias("q_bucket")))
+    corpus = b.filter(F.col("vec_id") >= 5)
+    cand = corpus.join(F.broadcast(queries),
+                       F.col("bucket") == F.col("q_bucket"))
+    cand = cand.withColumn("cos", F.round(_cos_expr("q_vec", "embedding"), 6))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
+    lsh_top = (cand.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= 10)
+                   .select("q_id", "vec_id"))
+    n_cand = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+
+    from .operators.similarity import cosine_topk
+    brute = (cosine_topk(queries.select("q_id", "q_vec"),
+                         emb.filter(F.col("vec_id") >= 5), k=10)
+             .select("q_id", F.col("vec_id").alias("b_vec_id")))
+    hits = (brute.join(lsh_top,
+                       (brute.q_id == lsh_top.q_id)
+                       & (brute.b_vec_id == lsh_top.vec_id))
+                 .groupBy(brute.q_id).agg(F.count(F.lit(1)).alias("n_hit")))
+    qs = queries.select("q_id")
+    return (qs.join(n_cand, "q_id", "left").join(hits, "q_id", "left")
+              .select("q_id",
+                      F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                      F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / 10.0, 6)
+                       .alias("recall")))
+
+
+# sign-LSH bucket in SQL: same deterministic pseudo-hyperplanes
+# h_p[d] = ((p*131 + d*137) % 1009 - 504)/504 as similarity.py:54
+_SQL_BUCKET = """
+  (SELECT CAST(sum(CASE WHEN pd.s > 0 THEN CAST(pow(2.0, pd.p) AS BIGINT)
+                        ELSE 0 END) AS BIGINT)
+   FROM (
+     SELECT p.p AS p,
+            (SELECT sum(v[d.d + 1] *
+                        ((CAST((p.p*131 + d.d*137) % 1009 AS DOUBLE) - 504.0)
+                         / 504.0))
+             FROM (SELECT unnest(generate_series(0, len(v) - 1)) AS d) d) AS s
+     FROM (SELECT unnest(generate_series(0, 3)) AS p) p
+   ) pd)
+"""
+
+SQL_ANN_LSH_RECALL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id, v, bucket FROM b WHERE vec_id >= 5),
+cand AS (
+  SELECT q.q_id, c.vec_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+  FROM q JOIN c ON q.qb = c.bucket
+),
+lsh_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+    FROM cand) WHERE r <= 10
+),
+ncand AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY q_id),
+brute AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+                                       c.vec_id) AS r
+    FROM q CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id >= 5) c) WHERE r <= 10
+),
+hits AS (
+  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM brute b JOIN lsh_top l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+  GROUP BY b.q_id
+)
+SELECT q.q_id,
+       coalesce(n.n_candidates, 0) AS n_candidates,
+       round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+FROM q LEFT JOIN ncand n ON q.q_id = n.q_id LEFT JOIN hits h ON q.q_id = h.q_id
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import neardup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -724,8 +926,10 @@ def q_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def all_queries():
     return {
         "pixel_overlaps_rect": q_pixel_overlaps_rect,
+        "pixel_overlaps_polar": q_pixel_overlaps_polar,
         "aggregate_weighted_mean": q_aggregate_weighted_mean,
         "aggregate_weighted_mean_nan": q_aggregate_weighted_mean_nan,
+        "aggregate_dot_product": q_aggregate_dot_product,
         "aggregate_with_weights": q_aggregate_with_weights,
         "knn_tiles": q_knn_tiles,
         "bbox_subset": q_bbox_subset,
@@ -746,6 +950,7 @@ def all_queries():
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "embedding_neardup": q_embedding_neardup,
         "image_decode_stats": q_image_decode_stats,
         "phash_buckets": q_phash_buckets,
@@ -755,8 +960,10 @@ def all_queries():
 def all_oracle_sql():
     return {
         "pixel_overlaps_rect": SQL_PIXEL_OVERLAPS,
+        "pixel_overlaps_polar": SQL_PIXEL_OVERLAPS_POLAR,
         "aggregate_weighted_mean": SQL_AGG_MEAN,
         "aggregate_weighted_mean_nan": SQL_AGG_MEAN_NAN,
+        "aggregate_dot_product": SQL_AGG_DOT,
         "aggregate_with_weights": SQL_AGG_WEIGHTS,
         "knn_tiles": SQL_KNN,
         "bbox_subset": SQL_BBOX,
@@ -777,6 +984,7 @@ def all_oracle_sql():
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN,
+        "ann_lsh_recall": SQL_ANN_LSH_RECALL,
         "embedding_neardup": SQL_EMB_NEARDUP,
         # image_decode_stats, phash_buckets: rows-only (binary decode not
         # SQL-expressible)

@@ -56,14 +56,32 @@ BROADCAST_OVERLAPS_MAX_ROWS = 5_000_000
 
 def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
               value_col: str = "value",
-              broadcast_overlaps: bool | None = None) -> DataFrame:
+              broadcast_overlaps: bool | None = None,
+              impl: str = "for_loop") -> DataFrame:
     """pix_values: long DataFrame (pix_idx, *dims, value).  wm: WeightMap.
 
-    Returns tidy long result: (poly_idx, *attrs, *dims, value) with the
-    reference's for_loop NaN semantics.  `var` in dims plays the reference's
-    per-variable loop; `t`/`plev`/... are the non-loc dims carried through
-    (reference A3: one hash aggregate per (poly_idx, dims)).
+    Returns tidy long result: (poly_idx, *attrs, *dims, value).  `var` in
+    dims plays the reference's per-variable loop; `t`/`plev`/... are the
+    non-loc dims carried through (reference A3: one hash aggregate per
+    (poly_idx, dims)).
+
+    impl='for_loop' (default): the reference's default NaN semantics — ONE
+    validity mask per pixel (valid iff any finite value across the non-loc
+    dims); NaN terms drop from the numerator only
+    (/root/reference/xagg/core.py:776-827).
+
+    impl='dot_product': the reference's dot-product semantics — weights are
+    masked PER (pixel, dim-coordinate) and renormalized per coordinate
+    (`weights_and_overlaps.where(var_array.notnull(), 0)`,
+    /root/reference/xagg/core.py:716-775).  The two impls agree exactly on
+    all-finite data and diverge under partial NaN (a pixel NaN at some
+    timesteps): dot_product drops that pixel's weight at those timesteps,
+    for_loop keeps it.  A coordinate with no valid pixels yields 0.0
+    (reference: 0/0 weights fillna(0) -> dot = 0.0), except a variable that
+    is NaN EVERYWHERE yields NaN (reference multiplies by nan).
     """
+    if impl not in ("for_loop", "dot_product"):
+        raise ValueError(f"impl must be 'for_loop' or 'dot_product', got {impl!r}")
     dims = list(dims)
     has_var = "var" in dims
     vkeys = ["var"] if has_var else []
@@ -87,6 +105,26 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
                               and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
     joined = pix_values.join(F.broadcast(ov) if broadcast_overlaps else ov,
                              "pix_idx")
+
+    if impl == "dot_product":
+        # per-(pixel, dim-coordinate) weight masking: numerator AND
+        # denominator from ONE hash aggregate over the joined tree
+        res = (joined.groupBy("poly_idx", *dims)
+                     .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s"),
+                          F.sum(F.when(_finite(v), F.col("_w"))).alias("_d")))
+        from pyspark.sql import Window
+        w_var = Window.partitionBy(*vkeys) if vkeys else \
+            Window.partitionBy(F.lit(1))
+        # _dmax == 0 over the whole variable <=> every value NaN -> NaN
+        # (this window runs on the tiny polys x dims result, not the fact)
+        res = (res.withColumn("_dmax", F.max("_d").over(w_var))
+                  .withColumn(
+                      value_col,
+                      F.when(F.coalesce(F.col("_dmax"), F.lit(0.0)) == 0.0, _nan())
+                       .when(F.coalesce(F.col("_d"), F.lit(0.0)) == 0.0, F.lit(0.0))
+                       .otherwise(F.col("_s") / F.col("_d")))
+                  .select("poly_idx", *dims, value_col))
+        return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
     # numerators: one hash aggregate per (poly_idx, dims)
     res = (joined.groupBy("poly_idx", *dims)
@@ -121,10 +159,13 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
                                          F.lit(0.0))))
               .select("poly_idx", *dims, value_col))
 
-    # outer merge onto polygon attrs (reference J3, core.py:533-538): keep
-    # zero-overlap polygons with NaN values for every dim combination.
-    # dim_space comes from the (tiny) result, not another fact-table scan.
-    spark = pix_values.sparkSession
+    return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
+
+
+def _merge_attrs(res: DataFrame, spark, wm, dims, value_col: str) -> DataFrame:
+    """Outer merge onto polygon attrs (reference J3, core.py:533-538): keep
+    zero-overlap polygons with NaN values for every dim combination.
+    dim_space comes from the (tiny) result, not another fact-table scan."""
     attrs = spark.createDataFrame(wm.polys.attrs)
     # materialize the (tiny: polys x dims) result ONCE before it fans out
     # into the dim-space branch and the final join — otherwise the two
@@ -135,7 +176,7 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     res = res.localCheckpoint(eager=True)
     dim_space = res.select(*dims).distinct()
     full = F.broadcast(attrs).crossJoin(F.broadcast(dim_space))
-    out = (full.join(res, on=["poly_idx"] + dims, how="left")
+    out = (full.join(res, on=["poly_idx"] + list(dims), how="left")
                .withColumn(value_col,
                            F.when(F.col(value_col).isNull(), _nan())
                             .otherwise(F.col(value_col))))

@@ -62,11 +62,29 @@ RESIZE_SCHEMA = StructType([
 ])
 
 
+def _block_mean(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """NaN-aware block mean, fully vectorized (np.add.reduceat over both
+    axes — no per-output-pixel Python).  Duplicate reduceat indices (the
+    upsample case) pick the single source row/col, matching a 1-element
+    block."""
+    H, W = arr.shape
+    ys = np.clip(np.linspace(0, H, out_h + 1)[:-1].astype(int), 0, H - 1)
+    xs = np.clip(np.linspace(0, W, out_w + 1)[:-1].astype(int), 0, W - 1)
+    finite = np.isfinite(arr)
+    vals = np.where(finite, arr, 0.0)
+    sums = np.add.reduceat(np.add.reduceat(vals, ys, axis=0), xs, axis=1)
+    cnts = np.add.reduceat(np.add.reduceat(finite.astype(np.float64), ys, axis=0),
+                           xs, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = sums / cnts
+    return np.where(cnts > 0, out, np.nan).astype(np.float32)
+
+
 def image_resize(df_images: DataFrame, out_h: int, out_w: int,
                  out_fmt: str = "raw32") -> DataFrame:
-    """Block-mean downsample (pure numpy) -> re-encode.  The Spark plumbing
-    (binary in/out, Arrow batches) is the real product; swap the kernel for
-    a PIL/opencv call when those libs exist."""
+    """Block-mean downsample (vectorized numpy) -> re-encode.  The Spark
+    plumbing (binary in/out, Arrow batches) is the real product; swap the
+    kernel for a PIL/opencv call when those libs exist."""
     from ..codecs import encode_tile
 
     def resize(batches):
@@ -75,14 +93,7 @@ def image_resize(df_images: DataFrame, out_h: int, out_w: int,
             for iid, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
                                            pdf["w"], pdf["h"], pdf["fmt"]):
                 arr = decode_tile(buf, fmt, int(w), int(h))
-                ys = np.linspace(0, arr.shape[0], out_h + 1).astype(int)
-                xs = np.linspace(0, arr.shape[1], out_w + 1).astype(int)
-                out = np.empty((out_h, out_w), dtype=np.float32)
-                for i in range(out_h):
-                    for j in range(out_w):
-                        blk = arr[ys[i]:max(ys[i + 1], ys[i] + 1),
-                                  xs[j]:max(xs[j + 1], xs[j] + 1)]
-                        out[i, j] = np.nanmean(blk) if np.isfinite(blk).any() else np.nan
+                out = _block_mean(arr, out_h, out_w)
                 rows.append((iid, encode_tile(out, out_fmt), out_w, out_h, out_fmt))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
