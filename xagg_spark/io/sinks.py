@@ -110,6 +110,57 @@ class AggResult:
             out[v] = arr
         return out
 
+    # ---- true NetCDF sink ----
+    def to_netcdf(self, fn: str) -> None:
+        """Write a REAL .nc file (reference agg.to_netcdf,
+        /root/reference/xagg/export.py:264-276 via prep_for_nc): data
+        variables dimensioned (poly_idx, *extra), coordinate variables, and
+        the polygon attribute fields as per-poly variables.  NetCDF3
+        classic, written by the engine's own stdlib codec (io.netcdf3) —
+        this environment has no netCDF4; classic files open in any NetCDF
+        reader."""
+        from .netcdf3 import write_netcdf3
+
+        def _char_matrix(strings, dim_base, dims, variables, vname, vdims):
+            enc = [str(s).encode() for s in strings]
+            width = max(1, max((len(s) for s in enc), default=1))
+            dims[f"{dim_base}_strlen"] = width
+            chars = np.zeros((len(enc), width), dtype="S1")
+            for i, s in enumerate(enc):
+                chars[i, :len(s)] = np.frombuffer(s, dtype="S1")
+            variables[vname] = (vdims + [f"{dim_base}_strlen"], chars)
+
+        ds = self.to_dataset_dict()
+        coords = ds["coords"]
+        dims = {k: len(np.asarray(v)) for k, v in coords.items()}
+        variables = {}
+        for k, v in coords.items():
+            arr = np.asarray(v)
+            if arr.dtype.kind in "OU":
+                _char_matrix(arr, k, dims, variables, k, [k])
+            else:
+                variables[k] = ([k], arr)
+        extra = [d for d in self.dims if d != "var"]
+        for vname, arr in ds.items():
+            if vname == "coords":
+                continue
+            variables[vname] = (["poly_idx"] + extra, np.asarray(arr))
+        # polygon attribute fields ride along (prep_for_nc keeps them)
+        attrs_pdf = (self.polys.attrs.set_index("poly_idx")
+                     .loc[coords["poly_idx"]])
+        for c in attrs_pdf.columns:
+            col = attrs_pdf[c].to_numpy()
+            if c in variables:
+                c_out = f"attr_{c}"
+            else:
+                c_out = c
+            if col.dtype.kind in "OU":
+                _char_matrix(col, c_out, dims, variables, c_out, ["poly_idx"])
+            else:
+                variables[c_out] = (["poly_idx"], col)
+        write_netcdf3(fn, dims, variables,
+                      global_attrs={"source": "xagg_spark aggregated"})
+
     # ---- geometry sink ----
     def to_geojson(self, fn: str | None = None) -> dict:
         """Wide values + polygon geometry as GeoJSON (the .to_shp analog,

@@ -115,6 +115,92 @@ def read_wm(spark: SparkSession, path: str):
                      has_weights=man["has_weights"], n_rows=n)
 
 
+def read_wm_xagg(spark: SparkSession, path: str):
+    """Import the REFERENCE's exported weightmap directory (written by
+    xagg's ``wm.to_file()`` — /root/reference/xagg/export.py:13-68, read
+    back by /root/reference/xagg/core.py:30-98):
+
+      <path>/<name>.shp            polygon geometry (+ .dbf attributes)
+      <path>/<name>_lat.nc, _lon.nc   source grid, stacked 'loc' arrays
+      <path>/<name>_weights.csv    optional additional weights ('weights')
+      <path>/<name>.h5             the agg table (pandas HDF5)
+
+    The .h5 agg needs pytables and HDF5-based .nc files need netCDF4 —
+    neither exists in this environment.  The loader reads everything it
+    can without them (shapefile via io.vector, classic-format .nc via the
+    engine's own io.netcdf3 codec, weights CSV) and, when the agg itself
+    is unreadable, RECOMPUTES the overlap table with pixel_overlaps on the
+    imported grid + geometry — equivalent output, since the agg stores
+    derived overlap data.
+    """
+    import re as _re
+    import warnings
+
+    from ..grid import AxesGrid
+    from ..operators.overlaps import pixel_overlaps
+    from .vector import read_shp
+
+    fn = _re.split("/", path.rstrip("/"))[-1]
+    polys = read_shp(os.path.join(path, f"{fn}.shp"))
+
+    axes = {}
+    for k in ("lat", "lon"):
+        ncp = os.path.join(path, f"{fn}_{k}.nc")
+        try:
+            from .netcdf3 import read_netcdf3
+            _, variables, _ = read_netcdf3(ncp)
+        except ValueError as e:
+            raise NotImplementedError(
+                f"{ncp} is not NetCDF3 classic (likely NetCDF4/HDF5, which "
+                f"needs the netCDF4 lib): {e}") from e
+        vname = f"{k}v" if f"{k}v" in variables else k
+        vals = np.asarray(variables[vname][1], dtype=np.float64)
+        axes[k] = np.unique(vals)          # stacked loc -> sorted axis
+    grid = AxesGrid(lat=axes["lat"], lon=axes["lon"]).with_bounds()
+
+    weights_pdf = None
+    wcsv = os.path.join(path, f"{fn}_weights.csv")
+    if os.path.exists(wcsv):
+        w = pd.read_csv(wcsv)["weights"].astype(np.float64).to_numpy()
+        weights_pdf = pd.DataFrame({
+            "pix_idx": np.arange(len(w), dtype=np.int64), "weight": w})
+
+    h5 = os.path.join(path, f"{fn}.h5")
+    if os.path.exists(h5):
+        try:
+            agg = pd.read_hdf(h5, "wm")
+            return _wm_from_agg(spark, agg, polys, grid, weights_pdf)
+        except ImportError:
+            warnings.warn(f"{h5} needs pytables (absent); recomputing the "
+                          "overlap table from the imported grid + geometry")
+    return pixel_overlaps(spark, grid, polys, weights_pdf=weights_pdf)
+
+
+def _wm_from_agg(spark, agg: pd.DataFrame, polys, grid, weights_pdf):
+    """Rebuild the long overlap table from the reference's list-valued agg
+    frame (columns rel_area / pix_idxs / coords per poly_idx)."""
+    from ..operators.overlaps import WeightMap
+
+    rows = {"poly_idx": [], "pix_idx": [], "lat": [], "lon": [], "rel_area": []}
+    for r in agg.itertuples():
+        pix = np.atleast_1d(np.squeeze(np.asarray(r.pix_idxs)))
+        rel = np.atleast_1d(np.squeeze(np.asarray(r.rel_area)))
+        coords = np.asarray(list(r.coords), dtype=np.float64).reshape(-1, 2)
+        rows["poly_idx"].append(np.full(len(pix), int(r.poly_idx), np.int64))
+        rows["pix_idx"].append(pix.astype(np.int64))
+        rows["lat"].append(coords[:, 0])
+        rows["lon"].append(coords[:, 1])
+        rows["rel_area"].append(rel.astype(np.float64))
+    pdf = pd.DataFrame({k: np.concatenate(v) for k, v in rows.items()})
+    if weights_pdf is not None:
+        pdf = pdf.merge(weights_pdf, on="pix_idx", how="left")
+        pdf["weight"] = pdf["weight"].fillna(0.0)
+    overlaps = spark.createDataFrame(pdf).localCheckpoint(eager=True)
+    return WeightMap(overlaps=overlaps, polys=polys, grid=grid,
+                     epsg=polys.pick_epsg(),
+                     has_weights=weights_pdf is not None, n_rows=len(pdf))
+
+
 # ---------------------------------------------------------------------------
 # resumable weightmap build
 # ---------------------------------------------------------------------------
