@@ -28,6 +28,9 @@ import pandas as pd
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+# size the single-JVM heap for the 4x job (15M-row weightmap blocks + a
+# 23M-row shuffle join); on a real cluster this is per-executor memory
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
 # bench grid: 0.05 deg x [20S..40N] x [40W..80E] = 1200x2400 = 2.88M pixels,
 # 64x64 tiles; NTIME timesteps -> NTIME x 2.88M pixel values
@@ -36,6 +39,16 @@ def _bench_grid():
     from xagg_spark.grid import GridSpec
     return GridSpec(lat_edge=-20.0, lon_edge=-40.0, dlat=0.05, dlon=0.05,
                     nlat=1200, nlon=2400, tile_h=64, tile_w=64)
+
+
+# 4x grid (0.025 deg, 11.52M pixels -> 23M pixel values, ~15M overlap rows):
+# pushes the weightmap past the broadcast threshold so the aggregate takes
+# the shuffle-join scale path, and gives the N->4N pair a workload where
+# every stage runs tens of seconds
+def _bench_grid_big():
+    from xagg_spark.grid import GridSpec
+    return GridSpec(lat_edge=-20.0, lon_edge=-40.0, dlat=0.025, dlon=0.025,
+                    nlat=2400, nlon=4800, tile_h=60, tile_w=60)
 
 
 def _bench_polys():
@@ -60,9 +73,9 @@ def _bench_polys():
     return PolygonSet(rings, pd.DataFrame({"name": names}))
 
 
-def _ensure_images(spark, grid):
+def _ensure_images(spark, grid, tag=""):
     from xagg_spark.synth import generate_spark
-    path = os.path.join(CACHE, f"bench_images_t{NTIME}")
+    path = os.path.join(CACHE, f"bench_images{tag}_t{NTIME}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -71,12 +84,12 @@ def _ensure_images(spark, grid):
     return spark.read.parquet(path)
 
 
-def _geo_job(spark, grid, polys):
+def _geo_job(spark, grid, polys, tag=""):
     """decode -> overlap join -> aggregate; returns (timings, row counts)."""
     from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
     t = {}
     n = {}
-    imgs = _ensure_images(spark, grid)
+    imgs = _ensure_images(spark, grid, tag=tag)
 
     t0 = time.time()
     pix = tiles_to_pixels(imgs, grid)
@@ -163,6 +176,42 @@ def run():
     scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
     scaling["efficiency_8_to_32"] = round((t8 / t32) / (CPUS / 8), 3)
 
+    # ---- 4x flagship (judge round-2 ask): same job on the 0.025-deg grid
+    # (23M pixel values, ~15M overlap rows — weightmap above the broadcast
+    # threshold, so the aggregate takes the shuffle-join scale path) at the
+    # official N->4N pair local[8] / local[32]
+    big = _bench_grid_big()
+    scaling_4x = {}
+    for ncores in (8, CPUS):
+        # 64 shuffle partitions: ~360k joined rows per partition at 23M
+        # rows — keeps the two-level denominator hash maps in memory
+        spark = _session(f"local[{ncores}]", 64)
+        imgs = _ensure_images(spark, big, tag="_big")
+        from xagg_spark.operators import (aggregate, pixel_overlaps,
+                                          tiles_to_pixels)
+        _warmup(spark)
+        t0 = time.time()
+        wm = pixel_overlaps(spark, big, _bench_polys())
+        pix = tiles_to_pixels(imgs, big)
+        nres = aggregate(pix, wm, dims=("var", "t")).count()
+        nov = wm.n_rows
+        tsec = time.time() - t0
+        if ncores == CPUS:
+            t, n = _geo_job(spark, big, polys, tag="_big")
+            queries["geo4x_decode"] = round(t["decode"], 2)
+            queries["geo4x_weightmap"] = round(t["weightmap"], 2)
+            queries["geo4x_aggregate"] = round(t["aggregate"], 2)
+        spark.stop()
+        npx = big.nlat * big.nlon * NTIME
+        scaling_4x[f"local[{ncores}]"] = {
+            "sec": round(tsec, 2),
+            "rows": {"pixel_values": npx, "overlap_rows": nov,
+                     "result_rows": nres},
+            "rows_per_sec": round((npx + nov) / tsec, 0)}
+    scaling_4x["efficiency_8_to_32"] = round(
+        (scaling_4x["local[8]"]["sec"] / scaling_4x[f"local[{CPUS}]"]["sec"])
+        / (CPUS / 8), 3)
+
     # ---- table-based headline queries at SF_DIR on local[CPUS]
     spark = _session(f"local[{CPUS}]", CPUS)
     from xagg_spark.driver_queries import (q_ann_cosine_topk,
@@ -192,6 +241,7 @@ def run():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_per_sec": rows_per_sec,
         "scaling": scaling,
+        "scaling_4x": scaling_4x,
     }
     print(json.dumps(out))
 

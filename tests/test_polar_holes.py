@@ -202,3 +202,25 @@ def test_multipolygon_parts_still_additive(spark):
                                         6.1, 0.3, 9.4, 3.8))
     np.testing.assert_allclose(pdf.rel_area.to_numpy(), exp / exp.sum(),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_jpeg_tiles_end_to_end(spark):
+    """G7 complete: a jpeg tile table decodes through the Spark pipeline and
+    aggregates within lossy tolerance of the raw32 ground truth."""
+    import pyspark.sql.functions as F
+
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    from xagg_spark.synth import generate_spark
+
+    grid = GridSpec(lat_edge=-4.0, lon_edge=-4.0, dlat=0.5, dlon=0.5,
+                    nlat=16, nlon=16, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(-2.3, -2.1, 2.2, 2.4)],
+                       pd.DataFrame({"name": ["x"]}))
+    wm = pixel_overlaps(spark, grid, polys)
+    a = aggregate(tiles_to_pixels(
+        generate_spark(spark, grid, ntime=2, fmt="jpeg"), grid), wm) \
+        .orderBy("t").toPandas()
+    b = aggregate(tiles_to_pixels(
+        generate_spark(spark, grid, ntime=2, fmt="raw32"), grid), wm) \
+        .orderBy("t").toPandas()
+    np.testing.assert_allclose(a["value"], b["value"], rtol=0, atol=0.05)

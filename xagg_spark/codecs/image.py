@@ -10,8 +10,10 @@ Tiles are single-channel float rasters.  Formats:
                Lossy by quantization; PSNR >> 40 dB.
 - ``q8``     : 8-byte header (vmin, vmax float32 LE) + h*w uint8 payload.
                Deliberately coarse lossy format to exercise the PSNR gate.
-- ``jpeg``   : NOT implemented (no libjpeg in env) — raises NotImplementedError
-               with the Spark-side plumbing (schema, batching) still real.
+- ``jpeg``   : real baseline grayscale JPEG (codecs.jpeg — from-scratch
+               T.81 DCT/Huffman, no libjpeg in env); float scale + NaN mask
+               ride in APP15 segments.  Lossy; PSNR > 40 dB at the default
+               quality.
 
 Decoders are batch-oriented: they run inside ``mapInArrow``/pandas UDFs, one
 call per Arrow batch, never per-row Python in the hot loop beyond the
@@ -25,7 +27,7 @@ import zlib
 
 import numpy as np
 
-FORMATS = ("raw32", "png", "q8")
+FORMATS = ("raw32", "png", "q8", "jpeg")
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -152,8 +154,8 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         q = np.round((np.nan_to_num(arr, nan=vmin) - vmin) / scale * 255.0).astype(np.uint8)
         return struct.pack("<ff", vmin, vmax) + q.tobytes()
     if fmt == "jpeg":
-        raise NotImplementedError("jpeg codec unavailable in this environment "
-                                  "(no libjpeg); use png/raw32/q8")
+        from .jpeg import encode_jpeg_gray
+        return encode_jpeg_gray(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -171,7 +173,11 @@ def decode_tile(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         q = np.frombuffer(buf[8:], dtype=np.uint8).reshape(h, w)
         return (q.astype(np.float32) / 255.0 * (vmax - vmin) + vmin)
     if fmt == "jpeg":
-        raise NotImplementedError("jpeg codec unavailable in this environment")
+        from .jpeg import decode_jpeg_gray
+        arr = decode_jpeg_gray(buf)
+        if arr.shape != (h, w):
+            raise ValueError(f"JPEG shape {arr.shape} != ({h},{w})")
+        return arr
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
