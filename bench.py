@@ -130,6 +130,8 @@ def _warmup(spark):
 
 
 def run():
+    from xagg_spark.options import set_options
+    set_options(silent=True)      # keep the one-JSON-line stdout contract
     os.makedirs(CACHE, exist_ok=True)
     grid = _bench_grid()
     polys = _bench_polys()

@@ -39,7 +39,7 @@ def test_rename_bnds_heuristic(spark):
 def test_options_api():
     # reference options.py:46-118 semantics
     base = get_options()
-    assert base["impl"] == "spark_sql"
+    assert base["impl"] == "for_loop"
     with pytest.raises(ValueError):
         set_options(impl="bogus")
     with pytest.raises(ValueError):
@@ -68,3 +68,70 @@ def test_centroids():
     c = centroids(polys)
     assert np.allclose(c[0], [1.0, 2.0])
     assert np.allclose(c[1], [1.0, 1.0])
+
+
+def test_silent_status_prints_and_promotion(spark, capsys):
+    """C5/cosmetic parity: status prints appear by default and vanish under
+    set_options(silent=True) (reference wrappers.py:87-103); a fact table
+    without a 'var' column is promoted to variable 'var' with a warning
+    (unnamed-DataArray analog, reference core.py:686-692)."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from xagg_spark import GridSpec, PolygonSet, rect_ring
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    from xagg_spark.options import option_context
+    from xagg_spark.synth import generate_spark
+
+    grid = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=0.5, dlon=0.5,
+                    nlat=8, nlon=8, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(0.6, 0.6, 3.2, 3.2)])
+    wm = pixel_overlaps(spark, grid, polys)
+    out = capsys.readouterr().out
+    assert "creating polygons for each pixel..." in out
+    assert "calculating overlaps between pixels and output polygons..." in out
+    assert "success!" in out
+
+    with option_context(silent=True):
+        pixel_overlaps(spark, grid, polys)
+        assert capsys.readouterr().out == ""
+
+    imgs = generate_spark(spark, grid, ntime=1, fmt="raw32")
+    pix_novar = tiles_to_pixels(imgs, grid).drop("var")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = aggregate(pix_novar, wm).toPandas()
+    assert any("unnamed" in str(w.message) for w in rec)
+    assert set(res["var"]) == {"var"} and len(res) == 1
+
+
+def test_options_impl_selects_aggregation(spark):
+    """set_options(impl='dot_product') changes the default aggregate impl
+    (reference options surface); 'numba' aliases for_loop semantics."""
+    import numpy as np
+
+    from xagg_spark import GridSpec, PolygonSet, rect_ring
+    from xagg_spark.codecs import encode_tile
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    from xagg_spark.options import option_context
+    import pandas as pd
+
+    grid = GridSpec(lat_edge=-1.0, lon_edge=-1.0, dlat=1.0, dlon=1.0,
+                    nlat=2, nlon=2, tile_h=2, tile_w=2)
+    polys = PolygonSet([rect_ring(-0.5, -0.5, 1.49, 1.49)])
+    wm = pixel_overlaps(spark, grid, polys)
+    vals = np.arange(1.0, 13.0).reshape(3, 2, 2)
+    vals[0, 1, 1] = np.nan
+    rows = [{"image_id": f"tile_test_{t:04d}_00000_00000",
+             "bytes": encode_tile(vals[t].astype(np.float32), "raw32"),
+             "w": 2, "h": 2, "fmt": "raw32", "caption": "c", "phash": 0}
+            for t in range(3)]
+    pix = tiles_to_pixels(spark.createDataFrame(pd.DataFrame(rows)), grid)
+    base = aggregate(pix, wm).orderBy("t").toPandas()          # for_loop
+    with option_context(impl="dot_product"):
+        dot = aggregate(pix, wm).orderBy("t").toPandas()
+    with option_context(impl="numba"):
+        num = aggregate(pix, wm).orderBy("t").toPandas()
+    assert abs(base["value"][0] - dot["value"][0]) > 1e-3      # diverge at t=0
+    np.testing.assert_allclose(base["value"], num["value"], atol=1e-12)

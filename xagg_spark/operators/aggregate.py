@@ -57,7 +57,8 @@ BROADCAST_OVERLAPS_MAX_ROWS = 5_000_000
 def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
               value_col: str = "value",
               broadcast_overlaps: bool | None = None,
-              impl: str = "for_loop") -> DataFrame:
+              impl: str | None = None,
+              silent: bool | None = None) -> DataFrame:
     """pix_values: long DataFrame (pix_idx, *dims, value).  wm: WeightMap.
 
     Returns tidy long result: (poly_idx, *attrs, *dims, value).  `var` in
@@ -80,8 +81,27 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     (reference: 0/0 weights fillna(0) -> dot = 0.0), except a variable that
     is NaN EVERYWHERE yields NaN (reference multiplies by nan).
     """
+    from ..options import get_options
+    if impl is None:
+        impl = get_options()["impl"]
+    if impl == "numba":           # subsumed by the hash aggregate (§2.4)
+        impl = "for_loop"
     if impl not in ("for_loop", "dot_product"):
         raise ValueError(f"impl must be 'for_loop' or 'dot_product', got {impl!r}")
+    if silent is None:
+        silent = get_options()["silent"]
+
+    # DataArray-promotion facade (reference wrappers.py:80-84 /
+    # core.py:686-692): a fact table without the variable column is an
+    # "unnamed DataArray" — promote it to a single variable named 'var'
+    dims = list(dims)
+    if "var" in dims and "var" not in pix_values.columns:
+        import warnings
+        warnings.warn("input has no 'var' column (unnamed-DataArray analog); "
+                      "the output variable will be \"var\"")
+        pix_values = pix_values.withColumn("var", F.lit("var"))
+    if not silent:
+        print(f"aggregating variables (impl={impl})...")
     dims = list(dims)
     has_var = "var" in dims
     vkeys = ["var"] if has_var else []

@@ -398,9 +398,15 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     already carries a weight column (the resumable bucketed path), so the
     weight is threaded through refine and checkpointed.
     """
+    from ..options import get_options
+    silent = get_options()["silent"]
     if len(polys) == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
+    if not silent:
+        # status prints, reference wrappers.py:87-103 (suppressed via
+        # set_options(silent=True))
+        print("creating polygons for each pixel...")
     if isinstance(grid, GridSpec):
         dlat_max = dlat_min = abs(grid.dlat)
         dlon_max = dlon_min = abs(grid.dlon)
@@ -451,6 +457,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             (F.col("lat") >= lat_min - pad_lat) & (F.col("lat") <= lat_max + pad_lat) &
             (F.col("lon") >= lon_min - pad_lon) & (F.col("lon") <= lon_max + pad_lon))
 
+    if not silent:
+        print("calculating overlaps between pixels and output polygons...")
     # polygon cell cover, dilated one ring (guarantees center-cell assignment
     # of pixels misses nothing given the per-axis res cap above)
     n = 1 << res
@@ -549,6 +557,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     if n_rows == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
+    if not silent:
+        print("success!")
     return WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
                      has_weights=has_w, n_rows=n_rows)
 

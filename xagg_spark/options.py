@@ -7,7 +7,11 @@ from contextlib import contextmanager
 
 _OPTIONS = {
     "silent": False,
-    "impl": "spark_sql",          # the engine's single aggregation impl
+    # default aggregation impl (reference options.py:23: for_loop default;
+    # dot_product = per-coordinate NaN-masked weights).  'numba' is
+    # subsumed by the Spark hash aggregate (SURVEY §2.4) and accepted as an
+    # alias of for_loop semantics.
+    "impl": "for_loop",
     "rgrd_alg": "conservative",   # conservative | bilinear
     "nan_to_zero_regridding": True,
     "cell_target_pixels": 4.0,    # cells sized to ~sqrt(this) pixels/axis
@@ -17,7 +21,7 @@ _OPTIONS = {
 
 _VALIDATORS = {
     "silent": lambda v: isinstance(v, bool),
-    "impl": lambda v: v in ("spark_sql",),
+    "impl": lambda v: v in ("for_loop", "dot_product", "numba"),
     "rgrd_alg": lambda v: v in ("conservative", "bilinear"),
     "nan_to_zero_regridding": lambda v: isinstance(v, bool),
     "cell_target_pixels": lambda v: isinstance(v, (int, float)) and v > 0,
