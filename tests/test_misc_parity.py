@@ -135,3 +135,28 @@ def test_options_impl_selects_aggregation(spark):
         num = aggregate(pix, wm).orderBy("t").toPandas()
     assert abs(base["value"][0] - dot["value"][0]) > 1e-3      # diverge at t=0
     np.testing.assert_allclose(base["value"], num["value"], atol=1e-12)
+
+
+def test_diag_fig_png(spark, tmp_path):
+    """C3 analog: diag_fig renders a polygon's overlap raster as a real PNG
+    through the engine's own codec — decoded intensities reproduce the
+    normalized rel_area values."""
+    import numpy as np
+
+    from xagg_spark import GridSpec, PolygonSet, rect_ring
+    from xagg_spark.codecs.image import _decode_png16
+    from xagg_spark.diag import diag_fig
+    from xagg_spark.operators import pixel_overlaps
+
+    grid = GridSpec(lat_edge=-4.0, lon_edge=-4.0, dlat=0.5, dlon=0.5,
+                    nlat=16, nlon=16, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(-2.3, -2.1, 2.2, 2.4)])
+    wm = pixel_overlaps(spark, grid, polys)
+    fn = str(tmp_path / "diag.png")
+    png = diag_fig(wm, 0, fn=fn)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n" and open(fn, "rb").read() == png
+    img = _decode_png16(png)
+    n_overlap = wm.overlaps.count()
+    finite = np.isfinite(img)
+    assert finite.sum() >= n_overlap          # all overlap pixels drawn
+    assert np.nanmax(img) <= 1.0 + 1e-6 and np.nanmin(img[finite]) >= 0.0

@@ -39,3 +39,54 @@ def test_tile_bbox_prefilter_prunes_and_preserves_results(spark):
     a = a.sort_values(["poly_idx", "t"]).reset_index(drop=True)
     b = b.sort_values(["poly_idx", "t"]).reset_index(drop=True)
     assert np.allclose(a["value"], b["value"], equal_nan=True)
+
+
+def test_copartitioned_join_is_exchange_free(spark, tmp_path):
+    """save_copartitioned buckets fact + overlaps on pix_idx: the aggregate
+    join plan is a SortMergeJoin with NO Exchange on either input (the one
+    remaining shuffle in the pipeline, removed at write time), and the
+    aggregate over the bucketed pair matches the broadcast-path result."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from xagg_spark.grid import GridSpec
+    from xagg_spark.io.tables import read_copartitioned, save_copartitioned
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    from xagg_spark.polygons import PolygonSet, rect_ring
+    from xagg_spark.synth import generate_spark
+
+    import shutil
+    for t in ("copart_t_fact", "copart_t_overlaps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    grid = GridSpec(lat_edge=-4.0, lon_edge=-4.0, dlat=0.5, dlon=0.5,
+                    nlat=16, nlon=16, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(-2.3, -2.1, 2.2, 2.4)],
+                       pd.DataFrame({"name": ["x"]}))
+    wm = pixel_overlaps(spark, grid, polys)
+    pix = tiles_to_pixels(generate_spark(spark, grid, ntime=2, fmt="raw32"),
+                          grid)
+    save_copartitioned(pix, wm, "copart_t", n_buckets=4)
+    fact, wm2 = read_copartitioned(spark, "copart_t", polys, grid, wm.epsg)
+
+    # force the non-broadcast strategy so the bucket distribution (not AQE
+    # broadcasting tiny test tables) is what's under test
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ov = wm2.overlaps.select("poly_idx", "pix_idx", "rel_area")
+        joined = fact.join(ov, "pix_idx")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(pix_idx" not in plan
+        assert "SelectedBucketsCount" in plan     # bucketed scan really used
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    a = (aggregate(fact, wm2, broadcast_overlaps=False)
+         .orderBy("t").toPandas())
+    b = aggregate(pix, wm).orderBy("t").toPandas()
+    np.testing.assert_allclose(a["value"], b["value"], rtol=0, atol=1e-12)
+    spark.sql("DROP TABLE IF EXISTS copart_t_fact")
+    spark.sql("DROP TABLE IF EXISTS copart_t_overlaps")

@@ -51,6 +51,38 @@ def write_images(df: DataFrame, target: str, mode: str = "append",
     df.write.mode(mode).partitionBy("tile_bucket").parquet(target)
 
 
+def save_copartitioned(pix_values: DataFrame, wm, name: str,
+                       n_buckets: int = 64, mode: str = "overwrite") -> None:
+    """Write the decoded fact table AND the overlap table as BUCKETED
+    tables on pix_idx (same bucket count), so the aggregate's
+    fact ⨝ overlaps join needs NO exchange on either side — the 100 TB
+    answer to the one remaining shuffle in the pipeline (at cluster scale:
+    the Iceberg ``bucket(pix_idx)`` partition transform plays this role).
+
+    Tables land in the session catalog as ``<name>_fact`` /
+    ``<name>_overlaps``; reload with read_copartitioned.
+    """
+    (pix_values.write.mode(mode)
+        .bucketBy(n_buckets, "pix_idx").sortBy("pix_idx")
+        .saveAsTable(f"{name}_fact"))
+    (wm.overlaps.write.mode(mode)
+        .bucketBy(n_buckets, "pix_idx").sortBy("pix_idx")
+        .saveAsTable(f"{name}_overlaps"))
+
+
+def read_copartitioned(spark: SparkSession, name: str, polys, grid, epsg):
+    """Reload a save_copartitioned pair: (fact DataFrame, WeightMap whose
+    overlap side carries the bucket distribution — joins on pix_idx against
+    the fact table are exchange-free)."""
+    from ..operators.overlaps import WeightMap
+    fact = spark.table(f"{name}_fact")
+    overlaps = spark.table(f"{name}_overlaps")
+    wm = WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
+                   has_weights="weight" in overlaps.columns,
+                   n_rows=overlaps.count())
+    return fact, wm
+
+
 def prefilter_images_bbox(images: DataFrame, grid, lon_min: float,
                           lat_min: float, lon_max: float,
                           lat_max: float) -> DataFrame:
