@@ -276,15 +276,30 @@ def _refine_factory(rings_by_poly: dict, epsg: int,
                 full_in = inside4 & ~susp
                 area[full_in] = quad_area[full_in]
                 todo = np.where(susp)[0]
-                for i in todo:
-                    quad = np.array([[cxa[i], cya[i]], [cxb[i], cyb[i]],
-                                     [cxc[i], cyc[i]], [cxd[i], cyd[i]]])
-                    pieces = _convex_pieces(quad)
-                    a = 0.0
+                if len(todo):
+                    quads = np.stack([
+                        np.stack([cxa[todo], cya[todo]], axis=1),
+                        np.stack([cxb[todo], cyb[todo]], axis=1),
+                        np.stack([cxc[todo], cyc[todo]], axis=1),
+                        np.stack([cxd[todo], cyd[todo]], axis=1)], axis=1)
+                    # convex quads (the near-universal case): ONE batched
+                    # Sutherland-Hodgman over all boundary pixels per ring —
+                    # no per-pixel Python loop
+                    v = np.roll(quads, -1, axis=1) - quads
+                    cross = (v[:, :, 0] * np.roll(v[:, :, 1], -1, axis=1)
+                             - v[:, :, 1] * np.roll(v[:, :, 0], -1, axis=1))
+                    convex = np.all(cross >= 0.0, axis=1) | \
+                        np.all(cross <= 0.0, axis=1)
+                    acc = np.zeros(len(todo))
                     for ring, sgn in zip(rings, signs):
-                        for piece in pieces:
-                            a += sgn * _clip.clip_area(ring, piece)
-                    area[i] = a
+                        acc[convex] += sgn * _clip.clip_areas_batch(
+                            ring, quads[convex])
+                    for j in np.where(~convex)[0]:
+                        pieces = _convex_pieces(quads[j])
+                        for ring, sgn in zip(rings, signs):
+                            for piece in pieces:
+                                acc[j] += sgn * _clip.clip_area(ring, piece)
+                    area[todo] = acc
                 # drop degenerate boundary-touch slivers (GEOS keep_geom_type
                 # drops line/point intersections — core.py:492-496): anything
                 # below 1e-10 of the pixel's own area is FP noise, not overlap
