@@ -48,3 +48,39 @@ def test_stream_aggregate_availablenow(spark, tmp_path):
     q2 = stream_aggregate(spark, src + "/*/", GRID, wm, out, ck)
     q2.awaitTermination(120)
     assert len(spark.read.parquet(out).toPandas()) == n_before
+
+
+def test_stream_dedup_stateful_across_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates are suppressed within a
+    batch, across micro-batches, AND across a full stream restart (state
+    restored from the checkpoint)."""
+    from xagg_spark.streaming.dedup import stream_dedup_exact
+
+    src = tmp_path / "docs_in"
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    wave1 = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                          "text": ["alpha", "beta", "alpha", "gamma"]})
+    wave1.to_parquet(src / "w1.parquet")
+    q = stream_dedup_exact(spark, str(src), out, ck, n_groups=4,
+                           max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out).toPandas()
+    # within-batch dup (alpha x2) suppressed: 3 uniques
+    assert sorted(got1["digest"].unique()) == sorted(got1["digest"]) \
+        and len(got1) == 3
+
+    # wave 2: one re-sent duplicate + one new doc; RESTART the stream
+    wave2 = pd.DataFrame({"doc_id": [5, 6],
+                          "text": ["beta", "delta"]})
+    wave2.to_parquet(src / "w2.parquet")
+    q2 = stream_dedup_exact(spark, str(src), out, ck, n_groups=4,
+                            max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out).toPandas()
+    assert len(got2) == 4                      # only 'delta' added
+    assert got2["digest"].is_unique
+    kept = set(got2["doc_id"])
+    assert 6 in kept and 5 not in kept         # re-sent 'beta' suppressed

@@ -876,6 +876,58 @@ FROM q LEFT JOIN ncand n ON q.q_id = n.q_id LEFT JOIN hits h ON q.q_id = h.q_id
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path for ANN: deterministic coarse quantizer (centroids =
+    the first 16 corpus vectors), nprobe=4 probed lists, exact re-rank
+    within them.  Output (q_id, rank, vec_id, cos) — the oracle replays
+    assignment, probing and re-rank in SQL."""
+    from .operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = (emb.filter(F.col("vec_id") < 16)
+                    .select(F.col("vec_id").alias("cent_id"),
+                            F.col("embedding").alias("cent_vec")))
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec")))
+    corpus = emb.filter(F.col("vec_id") >= 16)
+    return (ivf_topk(queries, corpus, centroids, k=10, nprobe=4)
+            .select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "vec_id", "cos"))
+
+
+SQL_ANN_IVF = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+c AS (SELECT vec_id, v FROM e WHERE vec_id >= 16),
+cells AS (
+  SELECT vec_id, v, cent_id AS cell FROM (
+    SELECT c.vec_id, c.v, cent.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY round(list_cosine_similarity(cent.cv, c.v), 6) DESC,
+                                       cent.cent_id) AS r
+    FROM c CROSS JOIN cent) WHERE r = 1
+),
+probes AS (
+  SELECT q_id, qv, cent_id AS cell FROM (
+    SELECT q.q_id, q.qv, cent.cent_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY round(list_cosine_similarity(cent.cv, q.qv), 6) DESC,
+                                       cent.cent_id) AS r
+    FROM q CROSS JOIN cent) WHERE r <= 4
+),
+cand AS (
+  SELECT p.q_id, s.vec_id,
+         round(list_cosine_similarity(p.qv, s.v), 6) AS cos
+  FROM probes p JOIN cells s ON p.cell = s.cell
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM cand) WHERE rank <= 10
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import neardup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -951,6 +1003,7 @@ def all_queries():
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "image_decode_stats": q_image_decode_stats,
         "phash_buckets": q_phash_buckets,
@@ -985,6 +1038,7 @@ def all_oracle_sql():
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN,
         "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+        "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_neardup": SQL_EMB_NEARDUP,
         # image_decode_stats, phash_buckets: rows-only (binary decode not
         # SQL-expressible)

@@ -51,6 +51,58 @@ def neardup_pairs(corpus: DataFrame, threshold: float,
     return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id: str = "cent_id", cent_vec: str = "cent_vec",
+               round_digits: int = 6) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (deterministic
+    tie-break on centroid id): the IVF coarse quantizer.  Centroids are a
+    small broadcast table; at 10^9+ vectors this is a broadcast cross join
+    with map-side argmax — no shuffle of the corpus.  Output adds `cell`.
+    """
+    j = df.crossJoin(F.broadcast(centroids))
+    j = j.withColumn("_cos", F.round(_cos_expr(cent_vec, vec_col),
+                                     round_digits))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"),
+                                           F.col(cent_id).asc())
+    return (j.withColumn("_r", F.row_number().over(w))
+             .filter(F.col("_r") == 1)
+             .drop("_cos", "_r", cent_vec)
+             .withColumnRenamed(cent_id, "cell"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+             k: int = 10, nprobe: int = 4,
+             q_id: str = "q_id", q_vec: str = "q_vec",
+             c_id: str = "vec_id", c_vec: str = "embedding",
+             round_digits: int = 6) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in centroid cells
+    (ivf_assign); each query probes its `nprobe` nearest cells and exact
+    re-ranks only those lists — candidates ~ corpus * nprobe / n_cells
+    instead of the full corpus.  Output: (q_id, rank, vec_id, cos).
+
+    Deterministic: centroids are caller-chosen (e.g. the first C vectors —
+    SQL-reproducible), ranking ties break on ids.  At scale, pre-materialize
+    ivf_assign(corpus) bucketed by cell so probes prune partitions."""
+    cells = ivf_assign(corpus, centroids, id_col=c_id, vec_col=c_vec,
+                       round_digits=round_digits)
+    probes = queries.crossJoin(F.broadcast(centroids))
+    probes = probes.withColumn("_cos", F.round(_cos_expr("cent_vec", q_vec),
+                                               round_digits))
+    wq = Window.partitionBy(q_id).orderBy(F.desc("_cos"),
+                                          F.col("cent_id").asc())
+    probes = (probes.withColumn("_r", F.row_number().over(wq))
+                    .filter(F.col("_r") <= nprobe)
+                    .select(q_id, q_vec, F.col("cent_id").alias("cell")))
+    cand = cells.join(F.broadcast(probes), "cell")
+    cand = cand.withColumn("cos", F.round(_cos_expr(q_vec, c_vec),
+                                          round_digits))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(q_id, "rank", c_id, "cos"))
+
+
 def lsh_bucket_candidates(corpus: DataFrame, n_planes: int = 16,
                           c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
     """Sign-LSH bucket id per vector: deterministic pseudo-hyperplanes

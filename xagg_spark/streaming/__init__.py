@@ -1,3 +1,4 @@
+from .dedup import stream_dedup_exact
 from .ingest import stream_aggregate, stream_decode
 
-__all__ = ["stream_aggregate", "stream_decode"]
+__all__ = ["stream_aggregate", "stream_decode", "stream_dedup_exact"]
