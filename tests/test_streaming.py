@@ -84,3 +84,44 @@ def test_stream_dedup_stateful_across_batches_and_restart(spark, tmp_path):
     assert got2["digest"].is_unique
     kept = set(got2["doc_id"])
     assert 6 in kept and 5 not in kept         # re-sent 'beta' suppressed
+
+
+def test_stream_events_hourly_watermark(spark, tmp_path):
+    """Watermarked event-time windows: finalized windows emit exactly the
+    batch-groupBy result; an event arriving behind the watermark is
+    dropped.  Waves run as separate availableNow drains against one
+    checkpoint, so batch order (and thus watermark advancement) is
+    deterministic."""
+    from xagg_spark.streaming import stream_events_hourly
+
+    src = tmp_path / "ev_in"
+    out = str(tmp_path / "ev_out")
+    ck = str(tmp_path / "ev_ck")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def _wave(name, ids, ts, types, vals):
+        pd.DataFrame({"event_id": ids, "ts": ts,
+                      "user_id": ids, "event_type": types,
+                      "value": vals}).to_parquet(
+            src / name, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        q = stream_events_hourly(spark, str(src), out, ck)
+        q.awaitTermination(180)
+
+    # wave 1: three events inside 10:00-11:00 (watermark -> 08:59)
+    _wave("w1.parquet", [1, 2, 3],
+          [t0 + pd.Timedelta(minutes=m) for m in (5, 20, 59)],
+          ["view", "view", "click"], [1.0, 2.0, 5.0])
+    # wave 2: an event 6h later -> watermark 14:00, 10:00 window finalizes
+    _wave("w2.parquet", [4], [t0 + pd.Timedelta(hours=6)], ["view"], [7.0])
+    # wave 3: a LATE event back in the finalized 10:00 window -> dropped
+    _wave("w3.parquet", [5], [t0 + pd.Timedelta(minutes=30)], ["view"],
+          [100.0])
+
+    got = spark.read.parquet(out).toPandas()
+    assert (got["hour_start"] == t0).all()        # only the 10:00 window
+    by_type = got.set_index("event_type")
+    assert int(by_type.loc["view", "n"]) == 2     # late value=100 dropped
+    assert float(by_type.loc["view", "sum_value"]) == 3.0
+    assert int(by_type.loc["click", "n"]) == 1

@@ -38,6 +38,35 @@ def stream_decode(spark: SparkSession, source_dir: str, grid: GridSpec,
     return tiles_to_pixels(stream, grid)
 
 
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double")
+
+
+def stream_events_hourly(spark: SparkSession, source_dir: str, out_dir: str,
+                         checkpoint_dir: str, watermark: str = "2 hours",
+                         max_files_per_trigger: int = 1):
+    """Event-time tumbling-window aggregate with a WATERMARK: the streaming
+    twin of the batch `events_hourly` query.  Append output mode — a
+    window's row is emitted only once the watermark passes its end, and an
+    event arriving later than `watermark` behind the max seen ts is
+    DROPPED (late-data semantics).  Returns the StreamingQuery."""
+    ev = (spark.readStream.schema(EVENT_SCHEMA)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(source_dir))
+    agg = (ev.withWatermark("ts", watermark)
+             .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 4).alias("sum_value"))
+             .select(F.col("win.start").alias("hour_start"),
+                     "event_type", "n", "sum_value"))
+    return (agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_aggregate(spark: SparkSession, source_dir: str, grid: GridSpec,
                      wm, out_dir: str, checkpoint_dir: str,
                      max_files_per_trigger: int = 8):
