@@ -13,12 +13,13 @@ from .options import get_options, option_context, set_options
 from .polygons import PolygonSet, rect_ring
 from .operators import (NoOverlapError, WeightMap, aggregate, pixel_geometry,
                         pixel_overlaps, tiles_to_pixels)
-from .io import read_wm, resume_pixel_overlaps, save_weightmap
+from .io import read_wm, read_wm_xagg, resume_pixel_overlaps, save_weightmap
 from .io.sinks import AggResult
 from .operators.regrid import process_weights
 from .operators.subset import SomeNanWarning, subset_find, warn_if_partial_nan
 from .geo.bounds import synth_bounds as get_bnds
 from .geo.bounds import wrap_lon
+from .diag import diag_fig
 
 __version__ = "0.1.0"
 
@@ -26,7 +27,8 @@ __all__ = [
     "AxesGrid", "GridSpec", "PolygonSet", "rect_ring",
     "NoOverlapError", "WeightMap",
     "pixel_overlaps", "aggregate", "pixel_geometry", "tiles_to_pixels",
-    "read_wm", "save_weightmap", "resume_pixel_overlaps", "AggResult",
+    "read_wm", "read_wm_xagg", "save_weightmap", "resume_pixel_overlaps",
+    "AggResult", "diag_fig",
     "process_weights", "subset_find", "warn_if_partial_nan", "SomeNanWarning",
     "get_options", "set_options", "option_context",
     "get_bnds", "wrap_lon",

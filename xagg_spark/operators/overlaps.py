@@ -360,6 +360,22 @@ class WeightMap:
         from ..io.weightmap_io import save_weightmap
         save_weightmap(self, path, overwrite=overwrite)
 
+    def unpersist(self) -> None:
+        """Free the weightmap's materialized blocks.  The overlap table is
+        localCheckpoint'ed, and DataFrame.unpersist is a NO-OP for
+        checkpointed plans — the blocks otherwise live until the JVM GCs
+        the RDD, so repeated weightmap builds in one session accumulate
+        storage and degrade 2-3x.  This reaches the LogicalRDD directly;
+        best-effort for non-checkpointed overlap tables."""
+        try:
+            self.overlaps._jdf.queryExecution().analyzed().rdd() \
+                .unpersist(False)
+        except Exception:
+            try:
+                self.overlaps.unpersist()
+            except Exception:
+                pass
+
 
 def split_antimeridian(pixels: DataFrame) -> DataFrame:
     """Antimeridian pixel split (reference G2, make_multipoly
