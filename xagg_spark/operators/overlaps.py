@@ -52,6 +52,29 @@ class NoOverlapError(Exception):
     """Same error contract as /root/reference/xagg/core.py:25-27, 499-500."""
 
 
+# max estimated polygon-cover cells shipped as the broadcast dimension
+# side: past this, building + shipping the cover costs more than the wider
+# boundary band a coarser resolution creates (the batched clip keeps edge
+# cells cheap).  Measured at the 4x bench grid: res 12 cover = 2.6M rows,
+# 15s of driver build + createDataFrame; res 11 = 0.66M rows, total
+# weightmap 46s -> 24s with identical output.
+COVER_CELL_BUDGET = 800_000
+
+
+def _estimated_cover_cells(polys, res: int) -> float:
+    """Cheap driver-side upper-bound on the classified-cover row count:
+    per-ring bbox area in cells (bboxes overestimate non-rectangular
+    rings, which only makes the budget conservative)."""
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    total = 0.0
+    for poly in polys.rings:
+        for r in poly:
+            total += (max((r[:, 0].max() - r[:, 0].min()) / cw, 1.0)
+                      * max((r[:, 1].max() - r[:, 1].min()) / ch, 1.0))
+    return total
+
+
 def _grid_wraps(grid) -> bool:
     """True when any pixel's lon bounds wrap (lon0 > lon1) — decided on the
     driver from the axes so the no-wrap fast path skips a whole shuffle."""
@@ -461,6 +484,10 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                       _cells.MAX_RES))
     if res is None:
         res = _cells.pick_resolution(pixel_deg)
+        # cover-size budget: coarsening is always capture-safe (the
+        # per-axis cap above is an upper bound on res, never a lower one)
+        while res > 0 and _estimated_cover_cells(polys, res) > COVER_CELL_BUDGET:
+            res -= 1
     res = max(min(res, res_cap), 0)
 
     if pixels is None:
