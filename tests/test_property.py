@@ -103,3 +103,63 @@ def test_cea_band_area_positive_and_additive(lat0, dlat, lon0, dlon):
         + float(cea_band_area(mid, lat1, lon0, lon1))
     assert whole > 0
     assert np.isclose(whole, parts, rtol=1e-12)
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    n=st.integers(1, 40),
+    m=st.integers(1, 5),
+    kind=st.sampled_from(["f8", "f4", "i4", "i8big"]),
+)
+def test_netcdf3_roundtrip_property(n, m, kind):
+    """Any rectangular numeric array round-trips through the from-scratch
+    NetCDF3 classic codec (int64 narrowing included)."""
+    import tempfile
+
+    from xagg_spark.io.netcdf3 import read_netcdf3, write_netcdf3
+
+    rng = np.random.default_rng(n * 100 + m)
+    if kind == "f8":
+        arr = rng.normal(size=(n, m))
+    elif kind == "f4":
+        arr = rng.normal(size=(n, m)).astype(np.float32)
+    elif kind == "i4":
+        arr = rng.integers(-2**31, 2**31 - 1, size=(n, m), dtype=np.int64)
+    else:
+        arr = rng.integers(2**40, 2**50, size=(n, m), dtype=np.int64)
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/t.nc"
+        write_netcdf3(p, {"a": n, "b": m}, {"v": (["a", "b"], arr)})
+        dims, variables, _ = read_netcdf3(p)
+        assert dims == {"a": n, "b": m}
+        got = np.asarray(variables["v"][1], dtype=np.float64)
+        np.testing.assert_allclose(got, arr.astype(np.float64), rtol=0,
+                                   atol=0)
+
+
+@settings(deadline=None, max_examples=15)
+@given(
+    h=st.integers(4, 40),
+    w=st.integers(4, 40),
+    smooth=st.booleans(),
+    seed=st.integers(0, 10**6),
+)
+def test_jpeg_roundtrip_property(h, w, smooth, seed):
+    """Arbitrary shapes/values survive the from-scratch JPEG codec with
+    bounded error (value range scaled to 8 bits + DCT quantization)."""
+    from xagg_spark.codecs.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = (np.sin(yy / 7.0) * 40 + np.cos(xx / 5.0) * 25
+               + rng.normal(scale=0.5, size=(h, w))).astype(np.float32)
+    else:
+        arr = rng.uniform(-50, 150, size=(h, w)).astype(np.float32)
+    dec = decode_jpeg_gray(encode_jpeg_gray(arr, quality=96))
+    assert dec.shape == (h, w)
+    rng_span = float(arr.max() - arr.min()) or 1.0
+    err = float(np.abs(dec - arr).max())
+    # worst case (white noise) stays within ~15% of the dynamic range;
+    # smooth rasters are far tighter
+    assert err <= (0.04 if smooth else 0.16) * rng_span

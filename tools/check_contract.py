@@ -46,7 +46,9 @@ def compare(sdf: pd.DataFrame, ddf: pd.DataFrame) -> str:
 
 def main(sf_dir="/root/testdata/sf0.01", only=None):
     import __spark_entry__ as entrymod
+    from xagg_spark.options import set_options
     from xagg_spark.session import get_spark
+    set_options(silent=True)
     spark = get_spark("contract", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
