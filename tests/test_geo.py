@@ -163,3 +163,23 @@ def test_cover_bbox_and_polygon():
     pc = cover_polygon(lons, lats, res=7)
     assert set(pc.tolist()) <= set(cells.tolist())
     assert len(pc) >= 1
+
+
+def test_convex_pieces_nonconvex_quad():
+    """The non-convex (dart) quad fallback: the two triangles tile the quad
+    — signed areas add to the polygon area, and a clip against a covering
+    window returns the full dart area."""
+    from xagg_spark.geo.clip import clip_area
+    from xagg_spark.operators.overlaps import _convex_pieces
+
+    dart = np.array([[0.0, 0.0], [4.0, 1.0], [1.0, 1.0], [0.0, 4.0]])
+    pieces = _convex_pieces(dart)
+    assert len(pieces) == 2
+    big = np.array([[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0]])
+    total = sum(clip_area(big, p) for p in pieces)
+    x, y = dart[:, 0], dart[:, 1]
+    dart_area = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    assert abs(total - dart_area) < 1e-12
+
+    convex = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    assert len(_convex_pieces(convex)) == 1

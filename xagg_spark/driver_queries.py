@@ -948,6 +948,27 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 # image-table ops without SQL oracle (rows-only checks)
 # ---------------------------------------------------------------------------
 
+def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for near-dup pairs: candidates only within a sign-LSH
+    bucket, exact cosine verify.  The oracle replays bucket assignment +
+    within-bucket pairing + the threshold in SQL."""
+    from .operators.similarity import neardup_pairs_bucketed
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+               .filter(F.col("vec_id") < 400)
+    return neardup_pairs_bucketed(emb, threshold=0.3, n_planes=4)
+
+
+SQL_EMB_NEARDUP_BUCKETED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 400),
+b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b2.v), 6) AS cos
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3
+"""
+
+
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7: decode path health — per-tile pixel stats from the binary payload
     (PNG codec).  No SQL oracle (binary decode); rows-only check."""
@@ -1005,6 +1026,7 @@ def all_queries():
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "image_decode_stats": q_image_decode_stats,
         "phash_buckets": q_phash_buckets,
     }
@@ -1040,6 +1062,7 @@ def all_oracle_sql():
         "ann_lsh_recall": SQL_ANN_LSH_RECALL,
         "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_neardup": SQL_EMB_NEARDUP,
+        "embedding_neardup_bucketed": SQL_EMB_NEARDUP_BUCKETED,
         # image_decode_stats, phash_buckets: rows-only (binary decode not
         # SQL-expressible)
     }

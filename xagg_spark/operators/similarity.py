@@ -42,11 +42,36 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 def neardup_pairs(corpus: DataFrame, threshold: float,
                   c_id: str = "vec_id", c_vec: str = "embedding",
                   round_digits: int = 6) -> DataFrame:
-    """All pairs with rounded cosine >= threshold (test scale: O(n^2);
-    at scale run lsh_bucket_candidates first)."""
+    """EXACT all-pairs with rounded cosine >= threshold — O(n^2), the
+    test-scale baseline and the verifier for the bucketed path below.  At
+    corpus scale use neardup_pairs_bucketed (the default for >10^6 rows in
+    any pipeline: bounded shuffle keys, no cartesian)."""
     a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"))
     b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"))
     j = a.join(b, F.col("id_a") < F.col("id_b"))
+    j = j.withColumn("cos", F.round(_cos_expr("va", "vb"), round_digits))
+    return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def neardup_pairs_bucketed(corpus: DataFrame, threshold: float,
+                           n_planes: int = 4,
+                           c_id: str = "vec_id", c_vec: str = "embedding",
+                           round_digits: int = 6) -> DataFrame:
+    """SCALE path for near-duplicate pairs: sign-LSH bucket the corpus,
+    generate candidates only within a bucket (equi-join on the bucket id —
+    bounded shuffle, no all-pairs), exact-verify with cosine.  Recall is
+    governed by n_planes: a near-duplicate pair (cos -> 1) flips a plane
+    sign with probability ~ acos(cos)/pi per plane, so at the thresholds
+    near-dup pipelines use (>= 0.9) few planes keep recall high while
+    cutting candidates by ~2^planes."""
+    b = lsh_bucket_candidates(corpus, n_planes=n_planes,
+                              c_id=c_id, c_vec=c_vec)
+    a = b.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"),
+                 F.col("bucket").alias("ba"))
+    c = b.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"),
+                 F.col("bucket").alias("bb"))
+    j = a.join(c, (F.col("ba") == F.col("bb"))
+               & (F.col("id_a") < F.col("id_b")))
     j = j.withColumn("cos", F.round(_cos_expr("va", "vb"), round_digits))
     return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
