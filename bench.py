@@ -206,6 +206,29 @@ def run():
             queries["geo4x_decode"] = round(t["decode"], 2)
             queries["geo4x_weightmap"] = round(t["weightmap"], 2)
             queries["geo4x_aggregate"] = round(t["aggregate"], 2)
+            # the write-time scale path: bucket fact + overlaps on pix_idx
+            # once, then every aggregate joins exchange-free (measured
+            # 12s vs 22-152s for the shuffle join at this size)
+            import shutil as _sh
+            from xagg_spark.io.tables import (read_copartitioned,
+                                              save_copartitioned)
+            wm_c = pixel_overlaps(spark, big, _bench_polys())
+            pix_c = tiles_to_pixels(imgs, big)
+            for tbl in ("bench4x_fact", "bench4x_overlaps"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                _sh.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+            t0 = time.time()
+            save_copartitioned(pix_c, wm_c, "bench4x", n_buckets=64)
+            queries["geo4x_copart_write"] = round(time.time() - t0, 2)
+            wm_c.unpersist()
+            fact_c, wm_b = read_copartitioned(spark, "bench4x", polys, big,
+                                              wm_c.epsg)
+            t0 = time.time()
+            aggregate(fact_c, wm_b, dims=("var", "t"),
+                      broadcast_overlaps=False).count()
+            queries["geo4x_agg_copart"] = round(time.time() - t0, 2)
+            for tbl in ("bench4x_fact", "bench4x_overlaps"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.stop()
         npx = big.nlat * big.nlon * NTIME
         scaling_4x[f"local[{ncores}]"] = {
