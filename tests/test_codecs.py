@@ -105,3 +105,67 @@ def test_jpeg_decoder_reads_tables_from_stream():
     lo = decode_jpeg_gray(encode_jpeg_gray(arr, quality=40))
     hi = decode_jpeg_gray(encode_jpeg_gray(arr, quality=98))
     assert psnr(arr, hi) > psnr(arr, lo) > 15.0
+
+
+def _retag_tables(buf: bytes, new_id: int = 1) -> bytes:
+    """Rewrite a single-component baseline JPEG so every table uses
+    ``new_id`` instead of 0 (DQT Tq, DHT Th, SOF Tq ref, SOS Td/Ta) —
+    simulates a valid foreign encoder that numbers its tables 1."""
+    import struct as _s
+    out = bytearray(buf)
+    pos = 2
+    while pos < len(out):
+        marker = out[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = _s.unpack(">H", bytes(out[pos + 2:pos + 4]))
+        p0 = pos + 4
+        if marker == 0xDB:
+            p, end = p0, pos + 2 + ln
+            while p < end:
+                pq = out[p] >> 4
+                out[p] = (out[p] & 0xF0) | new_id
+                p += 1 + 64 * (2 if pq else 1)
+        elif marker == 0xC4:
+            p, end = p0, pos + 2 + ln
+            while p < end:
+                out[p] = (out[p] & 0xF0) | new_id
+                p += 17 + sum(out[p + 1:p + 17])
+        elif marker == 0xC0:
+            out[p0 + 8] = new_id
+        elif marker == 0xDA:
+            out[p0 + 2] = (new_id << 4) | new_id
+            break
+        pos += 2 + ln
+    return bytes(out)
+
+
+def test_jpeg_decoder_honors_declared_table_ids():
+    """A stream whose tables are numbered 1 (not 0) must decode via the ids
+    declared in SOF/SOS, byte-identically to the id-0 original."""
+    from xagg_spark.codecs.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from xagg_spark.synth import value_fn
+
+    iy, ix = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    arr = value_fn(ix, iy, 3).astype(np.float32)
+    buf = encode_jpeg_gray(arr, quality=90)
+    got0 = decode_jpeg_gray(buf)
+    got1 = decode_jpeg_gray(_retag_tables(buf, 1))
+    np.testing.assert_array_equal(got0, got1)
+
+
+def test_jpeg_inf_clamped_like_nan():
+    """+-inf pixels must not corrupt their 8x8 block: they are clamped to
+    vmin at encode and restored to NaN by the nan mask at decode."""
+    from xagg_spark.codecs.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from xagg_spark.codecs.image import psnr
+    from xagg_spark.synth import value_fn
+
+    iy, ix = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    arr = value_fn(ix, iy, 4).astype(np.float64)
+    arr[2, 3], arr[10, 11] = np.inf, -np.inf
+    dec = decode_jpeg_gray(encode_jpeg_gray(arr, quality=96))
+    assert np.isnan(dec[2, 3]) and np.isnan(dec[10, 11])
+    finite = np.isfinite(arr)
+    assert psnr(arr[finite].reshape(1, -1),
+                dec[finite].astype(np.float64).reshape(1, -1)) >= 40.0

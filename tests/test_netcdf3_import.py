@@ -160,3 +160,48 @@ def test_read_wm_xagg_roundtrip(spark, tmp_path):
     a = aggregate(pix, wm_imp).orderBy("poly_idx", "t").toPandas()
     b = aggregate(pix, wm_dir).orderBy("poly_idx", "t").toPandas()
     np.testing.assert_allclose(a["value"], b["value"], rtol=0, atol=1e-9)
+
+
+def test_read_wm_xagg_native_descending_order(spark, tmp_path):
+    """A foreign export whose stacked loc vectors are in native
+    DESCENDING-lat order: the weights CSV rows follow that loc order, so
+    the importer must remap loc->pix_idx instead of assuming arange
+    (otherwise weights silently attach to mirrored rows)."""
+    from xagg_spark.grid import GridSpec
+    from xagg_spark.io import read_wm_xagg
+    from xagg_spark.io.netcdf3 import write_netcdf3 as w3
+    from xagg_spark.io.vector import write_shp
+    from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
+    from xagg_spark.polygons import PolygonSet, rect_ring
+    from xagg_spark.synth import generate_spark
+
+    grid = GridSpec(lat_edge=-2.0, lon_edge=-2.0, dlat=0.5, dlon=0.5,
+                    nlat=8, nlon=8, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(-1.3, -1.2, 0.7, 0.9)],
+                       pd.DataFrame({"name": ["a"]}))
+    d = tmp_path / "wmd"
+    os.makedirs(d)
+    write_shp(polys, str(d / "wmd.shp"))
+    lat_desc = grid.lat_axis()[::-1].copy()             # native: north-first
+    lat_c = np.repeat(lat_desc, grid.nlon)
+    lon_c = np.tile(grid.lon_axis(), grid.nlat)
+    n = grid.nlat * grid.nlon
+    w3(str(d / "wmd_lat.nc"), {"loc": n}, {"latv": (["loc"], lat_c)})
+    w3(str(d / "wmd_lon.nc"), {"loc": n}, {"lonv": (["loc"], lon_c)})
+    # weight depends on LATITUDE, so a mirrored attachment changes results
+    wvals_locorder = np.repeat(np.arange(grid.nlat, 0, -1.0), grid.nlon)
+    pd.DataFrame({"weights": wvals_locorder}).to_csv(str(d / "wmd_weights.csv"))
+
+    wm_imp = read_wm_xagg(spark, str(d))
+
+    # ground truth: same weights expressed on the ascending grid's pix_idx
+    iy = np.arange(n) // grid.nlon
+    wvals_sorted = (iy + 1.0)                   # row iy (south-first) -> iy+1
+    weights_pdf = pd.DataFrame({"pix_idx": np.arange(n, dtype=np.int64),
+                                "weight": wvals_sorted})
+    wm_dir = pixel_overlaps(spark, grid, polys, weights_pdf=weights_pdf)
+    imgs = generate_spark(spark, grid, variables=("test",), ntime=1, fmt="raw32")
+    pix = tiles_to_pixels(imgs, grid)
+    a = aggregate(pix, wm_imp).orderBy("poly_idx", "t").toPandas()
+    b = aggregate(pix, wm_dir).orderBy("poly_idx", "t").toPandas()
+    np.testing.assert_allclose(a["value"], b["value"], rtol=0, atol=1e-9)

@@ -178,7 +178,12 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 96) -> bytes:
     vmin = float(finite.min()) if finite.size else 0.0
     vmax = float(finite.max()) if finite.size else 1.0
     scale = (vmax - vmin) or 1.0
-    u8 = np.round((np.nan_to_num(arr, nan=vmin) - vmin) / scale * 255.0)
+    # +-inf positions are carried (and restored to NaN) by the APP15 nan
+    # mask exactly like NaN, so clamp them to vmin here too — an unclamped
+    # inf would overflow the int32 quantized coefficients and corrupt every
+    # other pixel in its 8x8 block.
+    u8 = np.round((np.nan_to_num(arr, nan=vmin, posinf=vmin, neginf=vmin)
+                   - vmin) / scale * 255.0)
 
     ph, pw = -h % 8, -w % 8
     img = np.pad(u8, ((0, ph), (0, pw)), mode="edge") - 128.0
@@ -248,7 +253,8 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    qtabs, dc_spec, ac_spec = {}, None, None
+    qtabs, huff_specs = {}, {}          # huff_specs[(class, table_id)]
+    comp_tq, scan_td, scan_ta = 0, 0, 0
     h = w = None
     vmin, vmax = 0.0, 255.0
     nanbits = None
@@ -287,22 +293,25 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
                 bits = list(payload[p + 1:p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17:p + 17 + nv])
-                if tc == 0:
-                    dc_spec = (bits, vals)
-                else:
-                    ac_spec = (bits, vals)
+                huff_specs[(tc, th)] = (bits, vals)
                 p += 17 + nv
         elif marker == 0xC0:
             h, w = struct.unpack(">HH", payload[1:5])
             if payload[0] != 8 or payload[5] != 1:
                 raise ValueError("only 8-bit single-component baseline")
+            comp_tq = payload[8]        # component quant-table id (Tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0) supported")
         elif marker == 0xDA:
+            # SOS: Ns(1) [Cs, Td<<4|Ta]*Ns Ss Se AhAl — honour the declared
+            # entropy-table ids (a valid foreign encoder may use id 1).
+            scan_td, scan_ta = payload[2] >> 4, payload[2] & 0xF
             entropy_start = pos
             break
-    if entropy_start is None or h is None or dc_spec is None:
+    dc_spec = huff_specs.get((0, scan_td))
+    ac_spec = huff_specs.get((1, scan_ta))
+    if entropy_start is None or h is None or dc_spec is None or ac_spec is None:
         raise ValueError("truncated JPEG")
 
     def _decode_tree(spec):
@@ -331,7 +340,9 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
                 return v
         raise ValueError("bad Huffman code")
 
-    q = qtabs[0]
+    if comp_tq not in qtabs:
+        raise ValueError(f"quant table {comp_tq} declared in SOF not defined")
+    q = qtabs[comp_tq]
     nby, nbx = (h + 7) // 8, (w + 7) // 8
     out = np.zeros((nby * 8, nbx * 8))
     prev_dc = 0

@@ -143,7 +143,7 @@ def read_wm_xagg(spark: SparkSession, path: str):
     fn = _re.split("/", path.rstrip("/"))[-1]
     polys = read_shp(os.path.join(path, f"{fn}.shp"))
 
-    axes = {}
+    axes, locv = {}, {}
     for k in ("lat", "lon"):
         ncp = os.path.join(path, f"{fn}_{k}.nc")
         try:
@@ -154,36 +154,57 @@ def read_wm_xagg(spark: SparkSession, path: str):
                 f"{ncp} is not NetCDF3 classic (likely NetCDF4/HDF5, which "
                 f"needs the netCDF4 lib): {e}") from e
         vname = f"{k}v" if f"{k}v" in variables else k
-        vals = np.asarray(variables[vname][1], dtype=np.float64)
-        axes[k] = np.unique(vals)          # stacked loc -> sorted axis
+        locv[k] = np.asarray(variables[vname][1], dtype=np.float64)
+        axes[k] = np.unique(locv[k])       # stacked loc -> sorted axis
     grid = AxesGrid(lat=axes["lat"], lon=axes["lon"]).with_bounds()
+
+    # loc index k (row order of the stacked vectors — also the row order of
+    # the weights CSV and the agg's pix_idxs) -> pix_idx on the rebuilt
+    # ascending grid.  The reference's own exporter runs fix_ds (ascending
+    # sort) before stacking (/root/reference/xagg/core.py:314,344), so for
+    # its files this is the identity; a foreign export with native
+    # (e.g. descending-lat) axis order is remapped instead of silently
+    # attaching weights/overlaps to the wrong pixels.
+    pix_of_loc = (np.searchsorted(axes["lat"], locv["lat"]).astype(np.int64)
+                  * len(axes["lon"])
+                  + np.searchsorted(axes["lon"], locv["lon"]).astype(np.int64))
 
     weights_pdf = None
     wcsv = os.path.join(path, f"{fn}_weights.csv")
     if os.path.exists(wcsv):
         w = pd.read_csv(wcsv)["weights"].astype(np.float64).to_numpy()
-        weights_pdf = pd.DataFrame({
-            "pix_idx": np.arange(len(w), dtype=np.int64), "weight": w})
+        if len(w) != len(pix_of_loc):
+            raise ValueError(
+                f"{wcsv} has {len(w)} rows but the exported grid has "
+                f"{len(pix_of_loc)} stacked locations")
+        weights_pdf = pd.DataFrame({"pix_idx": pix_of_loc, "weight": w})
 
     h5 = os.path.join(path, f"{fn}.h5")
     if os.path.exists(h5):
         try:
             agg = pd.read_hdf(h5, "wm")
-            return _wm_from_agg(spark, agg, polys, grid, weights_pdf)
+            return _wm_from_agg(spark, agg, polys, grid, weights_pdf,
+                                pix_of_loc=pix_of_loc)
         except ImportError:
             warnings.warn(f"{h5} needs pytables (absent); recomputing the "
                           "overlap table from the imported grid + geometry")
     return pixel_overlaps(spark, grid, polys, weights_pdf=weights_pdf)
 
 
-def _wm_from_agg(spark, agg: pd.DataFrame, polys, grid, weights_pdf):
+def _wm_from_agg(spark, agg: pd.DataFrame, polys, grid, weights_pdf,
+                 pix_of_loc=None):
     """Rebuild the long overlap table from the reference's list-valued agg
-    frame (columns rel_area / pix_idxs / coords per poly_idx)."""
+    frame (columns rel_area / pix_idxs / coords per poly_idx).  The agg's
+    pix_idxs are loc indices in the export's stacked order; ``pix_of_loc``
+    remaps them onto the rebuilt ascending grid (identity for files the
+    reference itself wrote)."""
     from ..operators.overlaps import WeightMap
 
     rows = {"poly_idx": [], "pix_idx": [], "lat": [], "lon": [], "rel_area": []}
     for r in agg.itertuples():
         pix = np.atleast_1d(np.squeeze(np.asarray(r.pix_idxs)))
+        if pix_of_loc is not None:
+            pix = np.asarray(pix_of_loc)[pix.astype(np.int64)]
         rel = np.atleast_1d(np.squeeze(np.asarray(r.rel_area)))
         coords = np.asarray(list(r.coords), dtype=np.float64).reshape(-1, 2)
         rows["poly_idx"].append(np.full(len(pix), int(r.poly_idx), np.int64))

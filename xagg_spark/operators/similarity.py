@@ -76,24 +76,44 @@ def neardup_pairs_bucketed(corpus: DataFrame, threshold: float,
     return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
+def _cos_lit(vec, col_name: str) -> F.Column:
+    """Cosine between a driver-side literal vector and an array column,
+    with the same double accumulation order as _cos_expr / the oracle."""
+    a = F.array(*[F.lit(float(v)) for v in vec])
+    b = F.col(col_name)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                cent_id: str = "cent_id", cent_vec: str = "cent_vec",
                round_digits: int = 6) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (deterministic
-    tie-break on centroid id): the IVF coarse quantizer.  Centroids are a
-    small broadcast table; at 10^9+ vectors this is a broadcast cross join
-    with map-side argmax — no shuffle of the corpus.  Output adds `cell`.
-    """
-    j = df.crossJoin(F.broadcast(centroids))
-    j = j.withColumn("_cos", F.round(_cos_expr(cent_vec, vec_col),
-                                     round_digits))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"),
-                                           F.col(cent_id).asc())
-    return (j.withColumn("_r", F.row_number().over(w))
-             .filter(F.col("_r") == 1)
-             .drop("_cos", "_r", cent_vec)
-             .withColumnRenamed(cent_id, "cell"))
+    tie-break on smallest centroid id): the IVF coarse quantizer.  The
+    centroid table is small by contract (it IS the coarse quantizer), so it
+    is collected once and inlined as literal expressions — the assignment
+    is then a pure map-side argmax over the corpus: no join, no row
+    expansion, and NO shuffle of the corpus at any scale.  Output adds
+    `cell`.  `array_position` returns the FIRST index of the max, and
+    centroids are evaluated in ascending-id order, so ties break on the
+    smallest centroid id."""
+    cents = sorted(centroids.select(cent_id, cent_vec).collect(),
+                   key=lambda r: r[0])
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid table")
+    coses = F.array(*[F.round(_cos_lit(r[1], vec_col), round_digits)
+                      for r in cents])
+    ids = F.array(*[F.lit(r[0]) for r in cents])
+    cell = F.element_at(
+        ids, F.array_position(coses, F.array_max(coses)).cast("int"))
+    return df.withColumn("cell", cell)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
