@@ -1,0 +1,85 @@
+"""kNN join (J6): polar CRS support + ring-expansion termination.
+
+Ground truth is an independent brute-force numpy ranking with the same
+Snyder forward (geo.ellipsoid) — no bbox, no pruning — so these tests
+validate that the expanding-bbox search terminates only when its results
+are provably complete, including the pole-spanning sector geometry.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xagg_spark.geo import ellipsoid as _ell
+from xagg_spark.grid import GridSpec
+from xagg_spark.operators.knn import knn_pixels
+from xagg_spark.operators.overlaps import pixel_geometry
+
+
+def _brute(grid, centers, k, epsg):
+    lat = np.repeat(grid.lat_axis(), grid.nlon)
+    lon = np.tile(grid.lon_axis(), grid.nlat)
+    pix = np.arange(grid.nlat * grid.nlon, dtype=np.int64)
+    px, py = _ell.forward(lon, lat, epsg)
+    rows = []
+    for r in centers.itertuples():
+        cx, cy = _ell.forward(np.array([r.c_lon]), np.array([r.c_lat]), epsg)
+        d2 = (px - cx[0]) ** 2 + (py - cy[0]) ** 2
+        order = np.lexsort((pix, d2))[:k]
+        for rank, i in enumerate(order, 1):
+            rows.append((int(r.q_id), rank, int(pix[i])))
+    return sorted(rows)
+
+
+def _run(spark, grid, centers, k, expect_epsg):
+    pixels = pixel_geometry(spark, grid).select("pix_idx", "lat", "lon")
+    got = knn_pixels(spark, pixels, centers, k=k)
+    got = sorted((int(a), int(b), int(c)) for a, b, c in
+                 got.select("q_id", "rank", "pix_idx").collect())
+    assert got == _brute(grid, centers, k, expect_epsg)
+
+
+def test_knn_north_polar_matches_brute_force(spark):
+    grid = GridSpec(lat_edge=55.0, lon_edge=-30.0, dlat=1.0, dlon=1.0,
+                    nlat=20, nlon=40, tile_h=20, tile_w=20)
+    centers = pd.DataFrame({
+        "q_id": np.arange(3, dtype=np.int64),
+        "c_lon": [-12.25, 0.375, 7.8125],
+        "c_lat": [58.125, 63.0625, 71.25],
+    })
+    _run(spark, grid, centers, k=7, expect_epsg=_ell.EPSG_NORTH)
+
+
+def test_knn_south_polar_matches_brute_force(spark):
+    grid = GridSpec(lat_edge=-75.0, lon_edge=10.0, dlat=1.0, dlon=1.0,
+                    nlat=15, nlon=30, tile_h=15, tile_w=15)
+    centers = pd.DataFrame({
+        "q_id": np.arange(2, dtype=np.int64),
+        "c_lon": [16.75, 29.0625],
+        "c_lat": [-68.125, -63.4375],
+    })
+    _run(spark, grid, centers, k=5, expect_epsg=_ell.EPSG_SOUTH)
+
+
+def test_knn_pole_spanning_bbox_terminates_correctly(spark):
+    """Center near the pole: the expanding box swallows the pole, where the
+    searched region's inner arc degenerates — the sector-boundary math must
+    keep expanding until results are complete (nearest pixels here lie
+    ACROSS the pole, outside any small lon window around the center)."""
+    grid = GridSpec(lat_edge=84.0, lon_edge=-180.0, dlat=1.0, dlon=10.0,
+                    nlat=6, nlon=36, tile_h=6, tile_w=36)
+    centers = pd.DataFrame({"q_id": np.array([0], dtype=np.int64),
+                            "c_lon": [10.0], "c_lat": [89.5]})
+    _run(spark, grid, centers, k=6, expect_epsg=_ell.EPSG_NORTH)
+
+
+def test_knn_global_unchanged(spark):
+    """Equator-straddling centers still use the global CEA (J2 rule)."""
+    grid = GridSpec(lat_edge=-10.0, lon_edge=-10.0, dlat=1.0, dlon=1.0,
+                    nlat=20, nlon=20, tile_h=20, tile_w=20)
+    centers = pd.DataFrame({
+        "q_id": np.arange(2, dtype=np.int64),
+        "c_lon": [-3.25, 4.0625],
+        "c_lat": [-4.125, 6.1875],
+    })
+    _run(spark, grid, centers, k=4, expect_epsg=_ell.EPSG_GLOBAL)

@@ -470,6 +470,59 @@ FROM ov
 """
 
 
+N_KNN_POLAR = 6
+
+
+def q_knn_tiles_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 in the north LAEA CRS: the centers are strictly northern, so
+    knn_pixels picks EPSG:6931 (same J2 rule as the overlap join) and ranks
+    by Euclidean distance in the polar projection; the oracle replays the
+    Snyder 24-23/24 forward analytically in SQL.  The expanding-bbox
+    termination uses the annular-sector boundary distance (the lat/lon box
+    maps exactly to a rho/lam sector in LAEA)."""
+    from .operators.knn import knn_pixels
+    from .operators.overlaps import pixel_geometry
+    pixels = pixel_geometry(spark, PGRID).select("pix_idx", "lat", "lon")
+    centers = pd.DataFrame({
+        "q_id": np.arange(N_KNN_POLAR, dtype=np.int64),
+        "c_lon": [4.0 + i * 7.0 + 0.21875 for i in range(N_KNN_POLAR)],
+        "c_lat": [44.0 + i * 3.0 + 0.109375 for i in range(N_KNN_POLAR)],
+    })
+    out = knn_pixels(spark, pixels, centers, k=5)
+    return out.select(F.col("q_id").cast("long").alias("q_id"),
+                      F.col("rank").cast("long").alias("rank"), "pix_idx")
+
+
+def _laea_dist2_sql() -> str:
+    xp, yp = _laea_xy_sql("x.lon", "x.lat")
+    xc, yc = _laea_xy_sql("c.c_lon", "c.c_lat")
+    return f"(pow({xp}-{xc}, 2) + pow({yp}-{yc}, 2))"
+
+
+SQL_KNN_POLAR = f"""
+WITH pix AS (
+  SELECT CAST(range AS BIGINT) AS pix_idx,
+         40.0 + ((range // 100) + 0.5) * 0.5 AS lat,
+         0.0 + ((range % 100) + 0.5) * 0.5 AS lon
+  FROM range({PGRID.nlat * PGRID.nlon})
+),
+ctr AS (
+  SELECT CAST(range AS BIGINT) AS q_id,
+         4.0 + range * 7.0 + 0.21875 AS c_lon,
+         44.0 + range * 3.0 + 0.109375 AS c_lat
+  FROM range({N_KNN_POLAR})
+),
+d AS (
+  SELECT c.q_id, x.pix_idx, {_laea_dist2_sql()} AS dist2
+  FROM pix x CROSS JOIN ctr c
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, pix_idx FROM (
+  SELECT q_id, pix_idx, row_number() OVER (PARTITION BY q_id ORDER BY dist2, pix_idx) AS rank
+  FROM d
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational analogs over the driver testdata (F6)
 # ---------------------------------------------------------------------------
@@ -971,7 +1024,10 @@ WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3
 
 def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7: decode path health — per-tile pixel stats from the binary payload
-    (PNG codec).  No SQL oracle (binary decode); rows-only check."""
+    (PNG codec).  The decode itself has no SQL twin, but the input is a
+    SEEDED deterministic synth grid and the codec is lossless-roundtrip, so
+    the expected rows are pinned as a VALUES literal oracle (exact-match
+    gate, not rows-only)."""
     from .operators import tiles_to_pixels
     imgs = generate_spark(spark, QGRID, variables=("test",), ntime=1, fmt="png")
     pix = tiles_to_pixels(imgs, QGRID)
@@ -984,12 +1040,65 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup buckets over the synthetic image table.
-    Rows-only (phash not SQL-reproducible)."""
+    phash (DCT of the decoded tile) is not SQL-reproducible, but the synth
+    input is seeded and the hash deterministic, so the expected buckets are
+    pinned as a VALUES literal oracle."""
     imgs = generate_spark(spark, QGRID, variables=("test",), ntime=2, fmt="raw32")
     return (imgs.groupBy("phash")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.min("image_id").alias("first_image"))
                 .filter(F.col("n") >= 2))
+
+
+# Pinned expected rows for the two codec-backed queries: the inputs are
+# seeded deterministic synth tiles and the codecs are this repo's own, so
+# the outputs are exact constants (verified identical at local[4] and
+# local[32]).  A VALUES oracle turns the former rows-only checks into full
+# row/schema/value-hash gates.
+SQL_IMAGE_DECODE_STATS = """
+SELECT * FROM (VALUES
+  ('test', CAST(0 AS BIGINT), CAST(3200 AS BIGINT),
+   CAST(49.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(97.0 AS DOUBLE))
+) AS t(var, t, n_pixels, mean_value, min_value, max_value)
+"""
+
+SQL_PHASH_BUCKETS = """
+SELECT * FROM (VALUES
+  (CAST(-2177738665159614856 AS BIGINT), CAST(2 AS BIGINT), 'tile_test_0000_00000_00001'),
+  (CAST(1096892346504110535 AS BIGINT),  CAST(2 AS BIGINT), 'tile_test_0000_00000_00002'),
+  (CAST(2051639799705035535 AS BIGINT),  CAST(2 AS BIGINT), 'tile_test_0000_00000_00000'),
+  (CAST(8710821759181852216 AS BIGINT),  CAST(2 AS BIGINT), 'tile_test_0000_00000_00003')
+) AS t(phash, n, first_image)
+"""
+
+
+def q_aggregate_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 over WRITE-TIME co-partitioned tables (io.tables
+    save_copartitioned): fact and overlaps bucketed+sorted on pix_idx so
+    the aggregate join runs with no Exchange on either side (plan pinned
+    in tests/test_tables.py::test_copartitioned_join_is_exchange_free).
+    This query proves the 100 TB scale path is VALUE-identical to the
+    broadcast path: same oracle as aggregate_weighted_mean."""
+    import os
+    import shutil
+
+    from .io.tables import read_copartitioned, save_copartitioned
+    from .operators import aggregate, tiles_to_pixels
+
+    wm = _wm(spark)
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=3, fmt="raw32")
+    pix = tiles_to_pixels(imgs, QGRID)
+    name = "xagg_drv_copart"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for t in (f"{name}_fact", f"{name}_overlaps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    save_copartitioned(pix, wm, name, n_buckets=8)
+    fact, wm2 = read_copartitioned(spark, name, wm.polys, QGRID, wm.epsg)
+    out = aggregate(fact, wm2, dims=("var", "t"), broadcast_overlaps=False)
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.round("value", 6).alias("value"))
 
 
 # ---------------------------------------------------------------------------
@@ -1004,7 +1113,9 @@ def all_queries():
         "aggregate_weighted_mean_nan": q_aggregate_weighted_mean_nan,
         "aggregate_dot_product": q_aggregate_dot_product,
         "aggregate_with_weights": q_aggregate_with_weights,
+        "aggregate_copartitioned": q_aggregate_copartitioned,
         "knn_tiles": q_knn_tiles,
+        "knn_tiles_polar": q_knn_tiles_polar,
         "bbox_subset": q_bbox_subset,
         "lon_wrap_canonicalize": q_lon_wrap_canonicalize,
         "bounds_halfspacing": q_bounds_halfspacing,
@@ -1040,7 +1151,9 @@ def all_oracle_sql():
         "aggregate_weighted_mean_nan": SQL_AGG_MEAN_NAN,
         "aggregate_dot_product": SQL_AGG_DOT,
         "aggregate_with_weights": SQL_AGG_WEIGHTS,
+        "aggregate_copartitioned": SQL_AGG_MEAN,
         "knn_tiles": SQL_KNN,
+        "knn_tiles_polar": SQL_KNN_POLAR,
         "bbox_subset": SQL_BBOX,
         "lon_wrap_canonicalize": SQL_LON_WRAP,
         "bounds_halfspacing": SQL_BOUNDS,
@@ -1063,6 +1176,8 @@ def all_oracle_sql():
         "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "embedding_neardup_bucketed": SQL_EMB_NEARDUP_BUCKETED,
-        # image_decode_stats, phash_buckets: rows-only (binary decode not
-        # SQL-expressible)
+        # codec-backed queries: deterministic seeded inputs + own codecs,
+        # so expected rows are pinned as VALUES literals (full 3-check gate)
+        "image_decode_stats": SQL_IMAGE_DECODE_STATS,
+        "phash_buckets": SQL_PHASH_BUCKETS,
     }
