@@ -116,3 +116,25 @@ def test_partial_nan_warning(spark):
     pix2 = tiles_to_pixels(
         _images(spark, nan_at={0: (0, 0), 1: (0, 0), 2: (0, 0)}), GRID)
     assert not warn_if_partial_nan(pix2)
+
+
+def test_partial_nan_warning_names_var_and_dims(spark):
+    """Per-dim parity with the reference's _warn_ifsomenans
+    (auxfuncs.py:73-197): the warning names the variable and exactly the
+    dims with inconsistent nans.  Pixel 0 is NaN at t=0 for EVERY plev:
+    partial along t, but along plev the t=0 slice is all-NaN (dropped by
+    the dropna step) -> only 't' is named."""
+    import itertools
+
+    rows = []
+    for t, plev, pix in itertools.product(range(3), range(2), range(4)):
+        val = np.nan if (pix == 0 and t == 0) else float(pix + t + plev)
+        rows.append(("tas", t, plev, pix, val))
+    pdf = pd.DataFrame(rows, columns=["var", "t", "plev", "pix_idx", "value"])
+    df = spark.createDataFrame(pdf)
+    with pytest.warns(SomeNanWarning) as rec:
+        assert warn_if_partial_nan(df, dims=("t", "plev"))
+    msgs = [str(w.message) for w in rec if isinstance(w.message, SomeNanWarning)]
+    assert len(msgs) == 1
+    assert "variable tas" in msgs[0]
+    assert "dimension(s) t " in msgs[0] and "plev" not in msgs[0]

