@@ -377,6 +377,9 @@ class WeightMap:
     n_boundary_refined: int = 0   # pixels refined through the batched clip
     n_nonconvex_fallback: int = 0  # of those, non-convex-quad per-pixel
                                    # fallbacks (>1% warns at build time)
+    _ckpt: DataFrame | None = None  # the actually-checkpointed DF (overlaps
+                                    # may be a cheap derived view over it);
+                                    # unpersist() must free THESE blocks
 
     def agg_pandas(self) -> pd.DataFrame:
         """Reconstitute the xagg-shaped `wm.agg` frame (lists per polygon,
@@ -402,13 +405,15 @@ class WeightMap:
         checkpointed plans — the blocks otherwise live until the JVM GCs
         the RDD, so repeated weightmap builds in one session accumulate
         storage and degrade 2-3x.  This reaches the LogicalRDD directly;
-        best-effort for non-checkpointed overlap tables."""
+        best-effort for non-checkpointed overlap tables.  overlaps may be
+        a derived view (normalization join) over the checkpointed table —
+        _ckpt points at the DF whose blocks actually need freeing."""
+        target = self._ckpt if self._ckpt is not None else self.overlaps
         try:
-            self.overlaps._jdf.queryExecution().analyzed().rdd() \
-                .unpersist(False)
+            target._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             try:
-                self.overlaps.unpersist()
+                target.unpersist()
             except Exception:
                 pass
 
@@ -618,37 +623,45 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         summed = refined.groupBy("poly_idx", "pix_idx", "lat", "lon").agg(*aggs)
     else:
         summed = refined
+    ckpt = None
     if raw_areas:
         # checkpoint/resume path: keep raw clip areas so partial results
         # from different buckets can be normalized globally at stitch time
         overlaps = summed.persist()
+        n_rows = overlaps.count()
     else:
         # A1 normalization WITHOUT a window: a window partitioned by
         # poly_idx would put a domain-scale polygon's millions of rows in
-        # one partition.  Persist the refined table (it feeds the totals
-        # pass AND the join-back), aggregate tiny per-polygon totals with
-        # map-side partials, and broadcast them back.
-        summed = summed.persist()
-        totals = summed.groupBy("poly_idx").agg(F.sum("area").alias("_tot"))
-        overlaps = (summed.join(F.broadcast(totals), "poly_idx")
-                          .withColumn("rel_area", F.col("area") / F.col("_tot"))
-                          .drop("area", "_tot"))
-        # LOCAL CHECKPOINT the normalized table: materializes it once AND
-        # truncates lineage.  aggregate() scans the weightmap repeatedly
-        # (broadcast build + two aggregates); with plain persist every task
-        # still deserializes the full decode/refine/broadcast lineage in
-        # its closure — measured ~35 ms/task of pure deserialization, i.e.
-        # seconds per action at 32+ partitions.  After checkpoint the task
-        # closure is a bare block read.  (On a cluster the weightmap is
-        # persisted via save_weightmap for fault tolerance; the checkpoint
-        # here is the in-session working copy.)
-        overlaps = overlaps.localCheckpoint(eager=True)
-        summed.unpersist()          # checkpoint supersedes the cache
+        # one partition.  ONE materialization pass total (r3 — the old
+        # persist-during-totals + checkpoint-of-the-join shape wrote the
+        # 3.8M-row bench table twice, ~2s of the build):
+        #   1. LOCAL CHECKPOINT the raw-area table — materializes the
+        #      decode/cover/refine pipeline once AND truncates lineage, so
+        #      every later scan schedules bare block-read tasks (plain
+        #      persist still deserializes the full lineage in each task
+        #      closure — measured ~35 ms/task).
+        #   2. per-polygon totals are <= n_poly rows (the PolygonSet is
+        #      driver-resident by construction), so collect them and
+        #      normalize through a LOCAL-relation broadcast join: the
+        #      broadcast costs no Spark job per scan, and rel_area is a
+        #      cheap JVM project over the checkpoint blocks.
+        ckpt = summed.localCheckpoint(eager=True)
+        tot = ckpt.groupBy("poly_idx").agg(
+            F.sum("area").alias("_tot"),
+            F.count(F.lit(1)).alias("_n")).toPandas()
+        n_rows = int(tot["_n"].sum())
+        if n_rows == 0:
+            raise NoOverlapError(
+                "No `ds` grid cells overlapped with any polygon in `gdf_in`. "
+                "Check the input `ds` and `gdf_in`.")
+        overlaps = (ckpt.join(F.broadcast(
+                        spark.createDataFrame(tot[["poly_idx", "_tot"]])),
+                        "poly_idx")
+                        .withColumn("rel_area", F.col("area") / F.col("_tot"))
+                        .drop("area", "_tot"))
 
-    # count is served from the checkpointed blocks and carried on the
-    # WeightMap so downstream join-strategy decisions never re-execute the
-    # overlap DAG
-    n_rows = overlaps.count()
+    # count carried on the WeightMap so downstream join-strategy decisions
+    # never re-execute the overlap DAG
     if n_rows == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
@@ -659,7 +672,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     return WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
                      has_weights=has_w, n_rows=n_rows,
                      n_boundary_refined=n_boundary,
-                     n_nonconvex_fallback=n_nonconvex)
+                     n_nonconvex_fallback=n_nonconvex,
+                     _ckpt=ckpt if ckpt is not None else overlaps)
 
 
 # ---------------------------------------------------------------------------
