@@ -523,6 +523,113 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, pix_idx FROM (
 """
 
 
+def q_regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 (§2.11): conservative regrid of a 0.75-degree weight grid onto
+    the 0.5-degree data grid — w_dst = Σ w_src·A(src∩dst) / Σ A(src∩dst)
+    with the exact separable EPSG:6933 rectangle area.  One src cell is
+    NaN (→ 0 under the default nan_to_zero, reference core.py:163-168).
+    The oracle replays the clipped-rectangle CEA area and both sums in
+    SQL; binary-exact grid steps (0.5/0.75/0.375) keep every bound
+    identical across numpy, Spark and DuckDB."""
+    from .operators.regrid import process_weights
+
+    dst = GridSpec(lat_edge=-5.0, lon_edge=-10.0, dlat=0.5, dlon=0.5,
+                   nlat=20, nlon=40, tile_h=20, tile_w=40)
+    w_lat = -6.0 + (np.arange(16) + 0.5) * 0.75
+    w_lon = -12.0 + (np.arange(32) + 0.5) * 0.75
+    w = ((np.arange(16)[:, None] * 32 + np.arange(32)[None, :]) % 7
+         + 1).astype(np.float64)
+    w[3, 5] = np.nan
+    pdf = process_weights(dst, w, w_lat, w_lon)
+    pdf["weight"] = pdf["weight"].round(6)
+    return spark.createDataFrame(pdf).select("pix_idx", "weight")
+
+
+SQL_REGRID_CONSERVATIVE = f"""
+WITH dst AS (
+  SELECT CAST(range AS BIGINT) AS pix_idx,
+         -5.0 + (range // 40) * 0.5 AS lat0,
+         -5.0 + ((range // 40) + 1) * 0.5 AS lat1,
+         -10.0 + (range % 40) * 0.5 AS lon0,
+         -10.0 + ((range % 40) + 1) * 0.5 AS lon1
+  FROM range(800)
+),
+src AS (
+  SELECT -6.0 + (range // 32) * 0.75 AS slat0,
+         -6.0 + ((range // 32) + 1) * 0.75 AS slat1,
+         -12.0 + (range % 32) * 0.75 AS slon0,
+         -12.0 + ((range % 32) + 1) * 0.75 AS slon1,
+         CASE WHEN (range // 32) = 3 AND (range % 32) = 5 THEN 0.0
+              ELSE CAST(range % 7 + 1 AS DOUBLE) END AS w
+  FROM range(512)
+),
+ov AS (
+  SELECT d.pix_idx, s.w,
+         {_cea_area_sql('greatest(d.lat0, s.slat0)', 'least(d.lat1, s.slat1)',
+                        'greatest(d.lon0, s.slon0)', 'least(d.lon1, s.slon1)')} AS a
+  FROM dst d JOIN src s
+    ON s.slon1 > d.lon0 AND s.slon0 < d.lon1
+   AND s.slat1 > d.lat0 AND s.slat0 < d.lat1
+)
+SELECT pix_idx, round(sum(w * a) / sum(a), 6) AS weight
+FROM ov GROUP BY pix_idx
+"""
+
+
+def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 bilinear path: separable 4-neighbor linear interpolation of
+    the same 0.75-degree weight grid onto the 0.5-degree data grid (the
+    engine's documented approximation of the xESMF bilinear algorithm).
+    Grids are chosen so every dst center lies strictly between src centers
+    (no ties, no edge clamping) — the oracle replays the neighbor indices
+    and both lerps in closed form."""
+    from .operators.regrid import process_weights
+
+    dst = GridSpec(lat_edge=-5.0, lon_edge=-10.0, dlat=0.5, dlon=0.5,
+                   nlat=20, nlon=40, tile_h=20, tile_w=40)
+    w_lat = -6.0 + (np.arange(16) + 0.5) * 0.75
+    w_lon = -12.0 + (np.arange(32) + 0.5) * 0.75
+    w = ((np.arange(16)[:, None] * 32 + np.arange(32)[None, :]) % 7
+         + 1).astype(np.float64)
+    w[3, 5] = np.nan
+    pdf = process_weights(dst, w, w_lat, w_lon, rgrd_alg="bilinear")
+    pdf["weight"] = pdf["weight"].round(6)
+    return spark.createDataFrame(pdf).select("pix_idx", "weight")
+
+
+def _sql_regrid_bilinear() -> str:
+    def w_expr(jy: str, jx: str) -> str:
+        return (f"(CASE WHEN {jy} = 3 AND {jx} = 5 THEN 0.0 "
+                f"ELSE CAST(({jy} * 32 + {jx}) % 7 + 1 AS DOUBLE) END)")
+
+    return f"""
+WITH d AS (
+  SELECT CAST(range AS BIGINT) AS pix_idx,
+         -5.0 + ((range // 40) + 0.5) * 0.5 AS y,
+         -10.0 + ((range % 40) + 0.5) * 0.5 AS x
+  FROM range(800)
+),
+i AS (
+  SELECT pix_idx, y, x,
+         CAST(floor((y - (-5.625)) / 0.75) AS BIGINT) AS iy0,
+         CAST(floor((x - (-11.625)) / 0.75) AS BIGINT) AS ix0
+  FROM d
+),
+t AS (
+  SELECT pix_idx, iy0, ix0, iy0 + 1 AS iy1, ix0 + 1 AS ix1,
+         (y - (-5.625 + iy0 * 0.75)) / 0.75 AS ty,
+         (x - (-11.625 + ix0 * 0.75)) / 0.75 AS tx
+  FROM i
+)
+SELECT pix_idx,
+       round((1 - ty) * ((1 - tx) * {w_expr('iy0', 'ix0')}
+                         + tx * {w_expr('iy0', 'ix1')})
+             + ty * ((1 - tx) * {w_expr('iy1', 'ix0')}
+                     + tx * {w_expr('iy1', 'ix1')}), 6) AS weight
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational analogs over the driver testdata (F6)
 # ---------------------------------------------------------------------------
@@ -1116,6 +1223,8 @@ def all_queries():
         "aggregate_copartitioned": q_aggregate_copartitioned,
         "knn_tiles": q_knn_tiles,
         "knn_tiles_polar": q_knn_tiles_polar,
+        "regrid_conservative": q_regrid_conservative,
+        "regrid_bilinear": q_regrid_bilinear,
         "bbox_subset": q_bbox_subset,
         "lon_wrap_canonicalize": q_lon_wrap_canonicalize,
         "bounds_halfspacing": q_bounds_halfspacing,
@@ -1154,6 +1263,8 @@ def all_oracle_sql():
         "aggregate_copartitioned": SQL_AGG_MEAN,
         "knn_tiles": SQL_KNN,
         "knn_tiles_polar": SQL_KNN_POLAR,
+        "regrid_conservative": SQL_REGRID_CONSERVATIVE,
+        "regrid_bilinear": _sql_regrid_bilinear(),
         "bbox_subset": SQL_BBOX,
         "lon_wrap_canonicalize": SQL_LON_WRAP,
         "bounds_halfspacing": SQL_BOUNDS,
