@@ -73,13 +73,17 @@ def save_copartitioned(pix_values: DataFrame, wm, name: str,
 def read_copartitioned(spark: SparkSession, name: str, polys, grid, epsg):
     """Reload a save_copartitioned pair: (fact DataFrame, WeightMap whose
     overlap side carries the bucket distribution — joins on pix_idx against
-    the fact table are exchange-free)."""
+    the fact table are exchange-free).
+
+    n_rows is left None ON PURPOSE: counting would scan the table at load
+    time, and with None the aggregate auto-picks the non-broadcast join —
+    exactly the bucket-co-located SortMergeJoin these tables exist for."""
     from ..operators.overlaps import WeightMap
     fact = spark.table(f"{name}_fact")
     overlaps = spark.table(f"{name}_overlaps")
     wm = WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
                    has_weights="weight" in overlaps.columns,
-                   n_rows=overlaps.count())
+                   n_rows=None)
     return fact, wm
 
 

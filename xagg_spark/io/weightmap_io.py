@@ -308,15 +308,22 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     # and broadcast them back instead.
     parts = [os.path.join(checkpoint, f"bucket={b}") for b in range(n_buckets)]
     dfs = spark.read.parquet(*[p for p in parts if os.path.exists(os.path.join(p, "_SUCCESS"))]).persist()
-    n_rows = dfs.count()
+    # per-polygon totals collected to the driver (<= n_poly rows — the
+    # PolygonSet is driver-resident by construction): normalization is then
+    # a local-relation broadcast join over the cached buckets, with no
+    # totals sub-job re-run on every downstream scan (same shape as
+    # pixel_overlaps' r3 single-pass normalize)
+    tot = dfs.groupBy("poly_idx").agg(F.sum("area").alias("_tot"),
+                                      F.count(F.lit(1)).alias("_n")).toPandas()
+    n_rows = int(tot["_n"].sum())
     if n_rows == 0:
         from ..operators.overlaps import NoOverlapError
         raise NoOverlapError("no overlaps in any bucket")
-    totals = dfs.groupBy("poly_idx").agg(F.sum("area").alias("_tot"))
-    overlaps = (dfs.join(F.broadcast(totals), "poly_idx")
+    overlaps = (dfs.join(F.broadcast(spark.createDataFrame(tot[["poly_idx", "_tot"]])),
+                         "poly_idx")
                    .withColumn("rel_area", F.col("area") / F.col("_tot"))
                    .drop("area", "_tot"))
     epsg = polys.pick_epsg()
     return WeightMap(overlaps=overlaps, polys=polys, grid=grid,
                      epsg=epsg, has_weights=weights_pdf is not None,
-                     n_rows=n_rows), computed
+                     n_rows=n_rows, _ckpt=dfs), computed
