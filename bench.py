@@ -238,7 +238,16 @@ def run():
         nov = wm.n_rows
         tsec = time.time() - t0
         wm.unpersist()
+        spark.stop()
         if ncores == CPUS:
+            # per-stage splits + copart + resume in their OWN fresh JVM:
+            # piggybacking the just-timed session contaminates the numbers
+            # (measured: decode 18-29s in-session vs 1-3s isolated — GC /
+            # async block-cleanup pressure from the timed run's 15M-row
+            # weightmap blocks)
+            spark = _session(f"local[{CPUS}]", 64)
+            imgs = _ensure_images(spark, big, tag="_big")
+            _warmup(spark)
             t, n = _geo_job(spark, big, polys, tag="_big")
             queries["geo4x_decode"] = round(t["decode"], 2)
             queries["geo4x_weightmap"] = round(t["weightmap"], 2)
@@ -296,7 +305,9 @@ def run():
                        / FF.greatest(FF.abs(FF.col("ra")),
                                      FF.lit(1e-300))).alias("reldiff")
             ).collect()[0]
-            n_a, n_b = wm_b.n_rows, wm_r.n_rows
+            # rows_straight from the build that WROTE the bucketed table
+            # (read_copartitioned intentionally carries n_rows=None)
+            n_a, n_b = wm_c.n_rows, wm_r.n_rows
             resume_check = {
                 "rows_straight": int(n_a), "rows_resumed": int(n_b),
                 "rows_joined": int(stats["n"]),
