@@ -1179,6 +1179,37 @@ SELECT * FROM (VALUES
 """
 
 
+def q_aggregate_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 with TWO non-loc dims (t, plev) — the reference's 4-D
+    time×plev×lat×lon case (tests/test_core.py 4-D goldens).  The extra
+    plev axis is synthesized JVM-side as value + plev*0.25, giving every
+    (t, plev) coordinate distinct values; the oracle replays the same
+    shift in SQL.  Proves the dims plumbing (groupBy keys, dim-space
+    cross, attrs merge) generalizes past 1 extra dim."""
+    from .operators import aggregate, tiles_to_pixels
+    wm = _wm(spark)
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=2, fmt="raw32")
+    pix = tiles_to_pixels(imgs, QGRID)
+    pix = (pix.crossJoin(spark.range(3).select(F.col("id").alias("plev")))
+              .withColumn("value", F.col("value") + F.col("plev") * F.lit(0.25)))
+    out = aggregate(pix, wm, dims=("var", "t", "plev"))
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.col("plev").cast("long").alias("plev"),
+                      F.round("value", 6).alias("value"))
+
+
+SQL_AGG_4D = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()},
+ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(2)),
+ps AS (SELECT CAST(range AS BIGINT) AS plev FROM range(3))
+SELECT o.poly_idx, ts.t, ps.plev,
+       round(sum(({value_sql('o.ix', 'o.iy', 'ts.t')} + ps.plev * 0.25) * o.area)
+             / sum(o.area), 6) AS value
+FROM ov o CROSS JOIN ts CROSS JOIN ps
+GROUP BY o.poly_idx, ts.t, ps.plev
+"""
+
+
 def q_aggregate_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 over WRITE-TIME co-partitioned tables (io.tables
     save_copartitioned): fact and overlaps bucketed+sorted on pix_idx so
@@ -1221,6 +1252,7 @@ def all_queries():
         "aggregate_dot_product": q_aggregate_dot_product,
         "aggregate_with_weights": q_aggregate_with_weights,
         "aggregate_copartitioned": q_aggregate_copartitioned,
+        "aggregate_4d": q_aggregate_4d,
         "knn_tiles": q_knn_tiles,
         "knn_tiles_polar": q_knn_tiles_polar,
         "regrid_conservative": q_regrid_conservative,
@@ -1261,6 +1293,7 @@ def all_oracle_sql():
         "aggregate_dot_product": SQL_AGG_DOT,
         "aggregate_with_weights": SQL_AGG_WEIGHTS,
         "aggregate_copartitioned": SQL_AGG_MEAN,
+        "aggregate_4d": SQL_AGG_4D,
         "knn_tiles": SQL_KNN,
         "knn_tiles_polar": SQL_KNN_POLAR,
         "regrid_conservative": SQL_REGRID_CONSERVATIVE,
