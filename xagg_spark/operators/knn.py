@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..geo import ellipsoid as _ell
 
@@ -79,9 +79,12 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
         px, py = _proj_cols(F.col("lon"), F.col("lat"), epsg)
         cx, cy = _proj_cols(F.col("c_lon"), F.col("c_lat"), epsg)
         j = j.withColumn("dist2", (px - cx) ** 2 + (py - cy) ** 2)
-        w = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("pix_idx"))
-        top = (j.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
+        # skew-safe two-phase top-k: a domain-scale radius can put millions
+        # of candidate pixels behind one q_id — never a single-partition
+        # window over them (same helper as the ANN paths)
+        from .similarity import _topk_skew_safe
+        top = _topk_skew_safe(j, "q_id",
+                              [F.asc("dist2"), F.asc("pix_idx")], k)
         # confirmation: the k-th distance must be inside the verified radius
         # (distance to the searched region's boundary), else a closer pixel
         # could lie outside

@@ -24,19 +24,39 @@ def _cos_expr(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+def _topk_skew_safe(df: DataFrame, part_keys, order_cols, k: int,
+                    rank_col: str = "rank") -> DataFrame:
+    """Two-phase deterministic top-k per group.  A plain
+    Window.partitionBy(group) puts EVERY candidate of a group in one
+    partition — with few groups and a 10^9-row candidate side that is the
+    classic skew killer.  Phase 1 takes the top-k within each (group,
+    physical input partition) — candidates stay where they are, the
+    window key includes the partition id so no partition concentrates a
+    whole group.  Phase 2 ranks the surviving <= n_partitions*k rows per
+    group globally.  The final ranking is identical to the single-window
+    form (any global top-k row is in its partition's local top-k under
+    the same total order)."""
+    pks = [part_keys] if isinstance(part_keys, str) else list(part_keys)
+    w1 = Window.partitionBy(*pks, "_pid").orderBy(*order_cols)
+    local = (df.withColumn("_pid", F.spark_partition_id())
+               .withColumn("_r1", F.row_number().over(w1))
+               .filter(F.col("_r1") <= k).drop("_r1", "_pid"))
+    w2 = Window.partitionBy(*pks).orderBy(*order_cols)
+    return (local.withColumn(rank_col, F.row_number().over(w2))
+                 .filter(F.col(rank_col) <= k))
+
+
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 q_id: str = "q_id", c_id: str = "vec_id",
                 q_vec: str = "q_vec", c_vec: str = "embedding",
                 round_digits: int = 6) -> DataFrame:
-    """Exact top-k by cosine: broadcast the (small) query side, window
-    row_number per query with deterministic tie-break on corpus id.
+    """Exact top-k by cosine: broadcast the (small) query side, skew-safe
+    two-phase top-k per query with deterministic tie-break on corpus id.
     Output: (q_id, rank, vec_id, cos)."""
     j = corpus.crossJoin(F.broadcast(queries))
     j = j.withColumn("cos", F.round(_cos_expr(q_vec, c_vec), round_digits))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id).asc())
-    return (j.withColumn("rank", F.row_number().over(w))
-             .filter(F.col("rank") <= k)
-             .select(q_id, "rank", c_id, "cos"))
+    top = _topk_skew_safe(j, q_id, [F.desc("cos"), F.col(c_id).asc()], k)
+    return top.select(q_id, "rank", c_id, "cos")
 
 
 def neardup_pairs(corpus: DataFrame, threshold: float,
@@ -142,10 +162,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
     cand = cells.join(F.broadcast(probes), "cell")
     cand = cand.withColumn("cos", F.round(_cos_expr(q_vec, c_vec),
                                           round_digits))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.col(c_id).asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(q_id, "rank", c_id, "cos"))
+    top = _topk_skew_safe(cand, q_id, [F.desc("cos"), F.col(c_id).asc()], k)
+    return top.select(q_id, "rank", c_id, "cos")
 
 
 def lsh_bucket_candidates(corpus: DataFrame, n_planes: int = 16,
