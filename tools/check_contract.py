@@ -92,5 +92,11 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
 
 
 if __name__ == "__main__":
-    only = set(sys.argv[1:]) or None
-    sys.exit(main(only=only))
+    # usage: check_contract.py [sf_dir] [query ...] — the first arg is a
+    # data dir when it exists on disk, else a query-name filter
+    import os as _os
+    args = sys.argv[1:]
+    sf = "/root/testdata/sf0.01"
+    if args and ("/" in args[0] or _os.path.isdir(args[0])):
+        sf, args = args[0], args[1:]
+    sys.exit(main(sf_dir=sf, only=set(args) or None))
