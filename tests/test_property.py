@@ -163,3 +163,86 @@ def test_jpeg_roundtrip_property(h, w, smooth, seed):
     # worst case (white noise) stays within ~15% of the dynamic range;
     # smooth rasters are far tighter
     assert err <= (0.04 if smooth else 0.16) * rng_span
+
+
+@given(st.integers(0, 10_000), st.integers(2, 30), st.integers(2, 25),
+       st.integers(2, 20), st.integers(2, 18))
+def test_regrid_vectorized_equals_scalar_property(seed, nd_lat, nd_lon,
+                                                  ns_lat, ns_lon):
+    """Separable-BLAS conservative regrid == per-pixel scalar definition on
+    arbitrary irregular, offset, partially-covering grid pairs."""
+    from xagg_spark.grid import AxesGrid
+    from xagg_spark.operators.regrid import (_conservative,
+                                             _conservative_scalar)
+    rng = np.random.default_rng(seed)
+    d = AxesGrid(lat=np.sort(rng.uniform(-70, 70, nd_lat)),
+                 lon=np.sort(rng.uniform(-170, 170, nd_lon))).with_bounds()
+    s = AxesGrid(lat=np.sort(rng.uniform(-80, 80, ns_lat)),
+                 lon=np.sort(rng.uniform(-175, 175, ns_lon))).with_bounds()
+    w = rng.normal(size=(ns_lat, ns_lon))
+    np.testing.assert_allclose(_conservative(d, s, w),
+                               _conservative_scalar(d, s, w),
+                               rtol=1e-10, atol=1e-10)
+
+
+@given(st.integers(0, 10_000), st.integers(1, 6), st.integers(5, 60))
+def test_bloom_dedup_no_false_negatives_property(seed, n_batches, per_batch):
+    """The streaming-dedup Bloom state NEVER re-emits a digest it has seen
+    (no false negatives), across arbitrary batch splits, with state size
+    constant throughout."""
+    import hashlib
+
+    import pandas as pd
+
+    from xagg_spark.streaming.dedup import _make_dedup_fn
+
+    class _S:
+        exists, _v = False, None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    rng = np.random.default_rng(seed)
+    m_bits, k = 1 << 14, 4
+    fn, state = _make_dedup_fn(m_bits, k), _S()
+    emitted = []
+    for b in range(n_batches):
+        # duplicates drawn from a small id pool force cross-batch repeats
+        ids = rng.integers(0, 40, size=per_batch)
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(per_batch),
+            "digest": [hashlib.md5(f"d{int(i)}".encode()).hexdigest()
+                       for i in ids],
+            "grp": 0})
+        for out in fn(0, [pdf], state):
+            emitted.extend(out["digest"].tolist())
+        assert len(state.get[0]) == m_bits // 8
+    assert len(emitted) == len(set(emitted))      # never emits a dup
+
+
+@given(st.integers(0, 10_000), st.integers(10, 300), st.integers(1, 4),
+       st.integers(1, 8))
+def test_topk_skew_safe_equals_plain_window(spark, seed, n_rows, n_groups, k):
+    """Two-phase skew-safe top-k == single-window top-k under the same
+    deterministic total order, for arbitrary data and partitioning."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from xagg_spark.operators.similarity import _topk_skew_safe
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, n_groups, n_rows),
+        "id": np.arange(n_rows),
+        "score": rng.integers(0, 10, n_rows).astype(float),  # forces ties
+    })
+    df = spark.createDataFrame(pdf).repartition(5)
+    order = [F.desc("score"), F.asc("id")]
+    a = _topk_skew_safe(df, "g", order, k).select("g", "rank", "id")
+    w = Window.partitionBy("g").orderBy(*order)
+    b = (df.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k).select("g", "rank", "id"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
