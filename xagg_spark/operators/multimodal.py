@@ -100,20 +100,87 @@ def image_resize(df_images: DataFrame, out_h: int, out_w: int,
     return df_images.mapInPandas(resize, RESIZE_SCHEMA)
 
 
-def decode_audio(df: DataFrame, **kw):
-    """STUB: audio decode requires libsndfile/ffmpeg (absent here).  The
-    table contract is (clip_id string, bytes binary, sample_rate int,
-    n_samples long, fmt string) -> mapInPandas to (clip_id, samples
-    array<float>)."""
-    raise NotImplementedError("audio decoding requires libsndfile/ffmpeg, "
-                              "not available in this environment")
+AUDIO_SCHEMA = StructType([
+    StructField("clip_id", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("samples", ArrayType(FloatType())),
+])
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30, **kw):
-    """STUB: video frame sampling requires ffmpeg (absent here).  Contract:
-    (video_id, bytes, fps, n_frames, fmt) -> (video_id, frame_no, bytes)."""
-    raise NotImplementedError("video decoding requires ffmpeg, "
-                              "not available in this environment")
+def decode_audio(df: DataFrame, decoder=None) -> DataFrame:
+    """Audio decode plumbing (Arrow-batched mapInPandas): input table
+    (clip_id string, bytes binary, sample_rate int, n_samples long,
+    fmt string) -> (clip_id, sample_rate, samples array<float>).
+
+    The Spark side — schema, batching, UDF signature — is real and
+    tested; only the codec is delegated: ``decoder(buf, fmt, n_samples)
+    -> float array``.  A real implementation needs libsndfile/ffmpeg
+    (absent in this container), so the default decoder raises
+    NotImplementedError at execution; tests inject a deterministic fake
+    to exercise the full distributed path."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, buf, sr, n, fmt in zip(pdf["clip_id"], pdf["bytes"],
+                                            pdf["sample_rate"],
+                                            pdf["n_samples"], pdf["fmt"]):
+                if decoder is None:
+                    raise NotImplementedError(
+                        "audio decoding requires libsndfile/ffmpeg, not "
+                        "available in this environment — pass decoder=")
+                samples = np.asarray(decoder(buf, fmt, int(n)),
+                                     dtype=np.float32)
+                rows.append((cid, int(sr), samples.tolist()))
+            yield pd.DataFrame(rows, columns=["clip_id", "sample_rate",
+                                              "samples"])
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("video_id", StringType()),
+    StructField("frame_no", LongType()),
+    StructField("bytes", BinaryType()),
+    StructField("w", IntegerType()), StructField("h", IntegerType()),
+    StructField("fmt", StringType()),
+])
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30,
+                        frame_decoder=None,
+                        out_fmt: str = "raw32") -> DataFrame:
+    """Video frame-sampling plumbing: input table (video_id string, bytes
+    binary, fps double, n_frames long, fmt string) -> one row per sampled
+    frame (video_id, frame_no, bytes, w, h, fmt) with
+    frame_no = 0, every_n, 2*every_n, ... < n_frames.
+
+    The SAMPLING logic (which frames, row fan-out, re-encode via the
+    engine's own codecs) runs here and is real; only the container
+    decode is delegated: ``frame_decoder(buf, fmt, frame_no) -> (h, w)
+    float array``.  A real implementation needs ffmpeg (absent), so the
+    default raises at execution; tests inject a deterministic fake."""
+    from ..codecs import encode_tile
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for vid, buf, fps, n, fmt in zip(pdf["video_id"], pdf["bytes"],
+                                             pdf["fps"], pdf["n_frames"],
+                                             pdf["fmt"]):
+                if frame_decoder is None:
+                    raise NotImplementedError(
+                        "video decoding requires ffmpeg, not available in "
+                        "this environment — pass frame_decoder=")
+                for fno in range(0, int(n), max(int(every_n), 1)):
+                    arr = np.asarray(frame_decoder(buf, fmt, fno),
+                                     dtype=np.float32)
+                    h, w = arr.shape
+                    rows.append((vid, fno, encode_tile(arr, out_fmt),
+                                 int(w), int(h), out_fmt))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_no",
+                                              "bytes", "w", "h", "fmt"])
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
 
 
 def psnr_check(df_images: DataFrame, grid, reference_fn,
