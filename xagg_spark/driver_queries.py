@@ -431,6 +431,64 @@ def q_pixel_overlaps_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel_area", 7).alias("rel_area"))
 
 
+IRR_LAT = [-3.0, -2.5, -2.0, -1.25, -0.25, 0.5, 1.0]
+IRR_LON = [-5.0, -4.0, -3.0, -1.5, 0.5, 2.0, 3.0, 3.75]
+
+
+def q_pixel_overlaps_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 over IRREGULAR axes (the AxesGrid path): variable spacings give
+    preceding-gap pixel widths (reference get_bnds semantics) — adjacent
+    pixels can overlap or leave gaps, and rel_area still normalizes over
+    the clipped areas.  Axes are chosen with smooth spacing so the
+    reference's break-detection never rewrites a width, letting the
+    oracle replay bounds synthesis with a single lag() window."""
+    from .operators import pixel_overlaps
+    grid = AxesGrid(lat=np.array(IRR_LAT), lon=np.array(IRR_LON))
+    polys = PolygonSet([rect_ring(-4.75, -2.875, 2.875, 0.9375)],
+                       pd.DataFrame({"name": ["irr"]}))
+    wm = pixel_overlaps(spark, grid, polys)
+    return wm.overlaps.select(
+        "poly_idx", "pix_idx",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        F.round("rel_area", 7).alias("rel_area"))
+
+
+def _sql_pixel_overlaps_irregular() -> str:
+    latv = ", ".join(f"({i}, {v})" for i, v in enumerate(IRR_LAT))
+    lonv = ", ".join(f"({i}, {v})" for i, v in enumerate(IRR_LON))
+    nlon = len(IRR_LON)
+    return f"""
+WITH latc AS (SELECT * FROM (VALUES {latv}) AS t(iy, c)),
+lonc AS (SELECT * FROM (VALUES {lonv}) AS t(ix, c)),
+latb AS (
+  SELECT iy, c AS lat,
+         coalesce(c - lag(c) OVER (ORDER BY iy),
+                  lead(c) OVER (ORDER BY iy) - c) AS w
+  FROM latc),
+lonb AS (
+  SELECT ix, c AS lon,
+         coalesce(c - lag(c) OVER (ORDER BY ix),
+                  lead(c) OVER (ORDER BY ix) - c) AS w
+  FROM lonc),
+pix AS (
+  SELECT CAST(la.iy * {nlon} + lo.ix AS BIGINT) AS pix_idx,
+         la.lat, lo.lon,
+         la.lat - la.w / 2 AS lat0, la.lat + la.w / 2 AS lat1,
+         lo.lon - lo.w / 2 AS lon0, lo.lon + lo.w / 2 AS lon1
+  FROM latb la CROSS JOIN lonb lo),
+ov AS (
+  SELECT CAST(0 AS BIGINT) AS poly_idx, pix_idx, lat, lon,
+         {_cea_area_sql('greatest(lat0, -2.875)', 'least(lat1, 0.9375)',
+                        'greatest(lon0, -4.75)', 'least(lon1, 2.875)')} AS area
+  FROM pix
+  WHERE lon1 > -4.75 AND lon0 < 2.875 AND lat1 > -2.875 AND lat0 < 0.9375
+)
+SELECT poly_idx, pix_idx, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       round(area / sum(area) OVER (), 7) AS rel_area
+FROM ov
+"""
+
+
 def _laea_xy_sql(lon: str, lat: str):
     """North-LAEA forward as SQL (Snyder 24-23/24 with authalic q)."""
     rho = f"({A}*sqrt(greatest({QP} - {_q_sql(lat)}, 0.0)))"
@@ -1247,6 +1305,7 @@ def all_queries():
     return {
         "pixel_overlaps_rect": q_pixel_overlaps_rect,
         "pixel_overlaps_polar": q_pixel_overlaps_polar,
+        "pixel_overlaps_irregular": q_pixel_overlaps_irregular,
         "aggregate_weighted_mean": q_aggregate_weighted_mean,
         "aggregate_weighted_mean_nan": q_aggregate_weighted_mean_nan,
         "aggregate_dot_product": q_aggregate_dot_product,
@@ -1288,6 +1347,7 @@ def all_oracle_sql():
     return {
         "pixel_overlaps_rect": SQL_PIXEL_OVERLAPS,
         "pixel_overlaps_polar": SQL_PIXEL_OVERLAPS_POLAR,
+        "pixel_overlaps_irregular": _sql_pixel_overlaps_irregular(),
         "aggregate_weighted_mean": SQL_AGG_MEAN,
         "aggregate_weighted_mean_nan": SQL_AGG_MEAN_NAN,
         "aggregate_dot_product": SQL_AGG_DOT,
