@@ -222,6 +222,7 @@ def test_bloom_dedup_no_false_negatives_property(seed, n_batches, per_batch):
     assert len(emitted) == len(set(emitted))      # never emits a dup
 
 
+@settings(max_examples=25)   # each example runs real Spark jobs
 @given(st.integers(0, 10_000), st.integers(10, 300), st.integers(1, 4),
        st.integers(1, 8))
 def test_topk_skew_safe_equals_plain_window(spark, seed, n_rows, n_groups, k):
