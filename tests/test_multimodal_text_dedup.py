@@ -189,3 +189,63 @@ def test_lang_id_markers(spark):
     assert out.loc[0, "lang_pred"] == "en"
     assert out.loc[1, "lang_pred"] == "es"
     assert out.loc[2, "lang_pred"] == "und"
+
+
+def test_ivf_assign_join_path_matches_numpy(spark):
+    """Large quantizer (> IVF_INLINE_MAX_CENTROIDS): the broadcast-join +
+    struct-min path must produce the same deterministic assignment as a
+    numpy argmax (max cos, smallest-id ties) — and the same as the inline
+    literal path on the same data."""
+    import pyspark.sql.functions as F
+
+    from xagg_spark.operators import similarity as sim
+
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+                .filter(F.col("vec_id") < 300))
+    cents = (emb.filter(F.col("vec_id") < 100)
+                .select(F.col("vec_id").alias("cent_id"),
+                        F.col("embedding").alias("cent_vec")))
+    assert cents.count() > sim.IVF_INLINE_MAX_CENTROIDS
+    got = {r["vec_id"]: r["cell"]
+           for r in sim.ivf_assign(emb, cents).collect()}
+
+    # numpy ground truth with the same rounding
+    cp = cents.orderBy("cent_id").toPandas()
+    ep = emb.toPandas()
+    C = np.stack(cp["cent_vec"].map(np.asarray)).astype(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for r in ep.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        cos = np.round(Cn @ (v / np.linalg.norm(v)), 6)
+        want = int(cp["cent_id"].iloc[int(np.argmax(cos))])  # first max
+        assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
+
+    # inline path (forced) agrees
+    old = sim.IVF_INLINE_MAX_CENTROIDS
+    sim.IVF_INLINE_MAX_CENTROIDS = 10_000
+    try:
+        inline = {r["vec_id"]: r["cell"]
+                  for r in sim.ivf_assign(emb, cents).collect()}
+    finally:
+        sim.IVF_INLINE_MAX_CENTROIDS = old
+    assert inline == got
+
+
+def test_topk_skew_safe_rejects_colliding_columns(spark):
+    import pyspark.sql.functions as F
+
+    from xagg_spark.operators.similarity import _topk_skew_safe
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"g": [1], "x": [1.0], "_pid": [9]}))
+    with pytest.raises(ValueError, match="_pid"):
+        _topk_skew_safe(df, "g", [F.desc("x")], 1)
+
+
+def test_warn_partial_nan_rejects_missing_dim(spark):
+    from xagg_spark.operators.subset import warn_if_partial_nan
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"pix_idx": [0], "var": ["v"], "t": [0], "value": [1.0]}))
+    with pytest.raises(ValueError, match="time"):
+        warn_if_partial_nan(df, dims=("time",))

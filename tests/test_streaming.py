@@ -86,6 +86,34 @@ def test_stream_dedup_stateful_across_batches_and_restart(spark, tmp_path):
     assert 6 in kept and 5 not in kept         # re-sent 'beta' suppressed
 
 
+def test_stream_dedup_exact_state_mode(spark, tmp_path):
+    """state='exact' opt-in: digest-set state (zero dropped uniques),
+    same dedup behavior across a restart."""
+    from xagg_spark.streaming.dedup import stream_dedup_exact
+
+    src = tmp_path / "ex_in"
+    out = str(tmp_path / "ex_out")
+    ck = str(tmp_path / "ex_ck")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [1, 2, 3],
+                  "text": ["a", "b", "a"]}).to_parquet(src / "w1.parquet")
+    q = stream_dedup_exact(spark, str(src), out, ck, n_groups=2,
+                           state="exact")
+    q.awaitTermination(120)
+    assert len(spark.read.parquet(out).toPandas()) == 2
+    pd.DataFrame({"doc_id": [4, 5],
+                  "text": ["b", "c"]}).to_parquet(src / "w2.parquet")
+    q2 = stream_dedup_exact(spark, str(src), out, ck, n_groups=2,
+                            state="exact")
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 3 and 4 not in set(got["doc_id"])
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bloom"):
+        stream_dedup_exact(spark, str(src), out, ck, state="nope")
+
+
 class _FakeState:
     """Minimal GroupState stand-in for unit-testing the stateful fn."""
 

@@ -36,6 +36,11 @@ def _topk_skew_safe(df: DataFrame, part_keys, order_cols, k: int,
     group globally.  The final ranking is identical to the single-window
     form (any global top-k row is in its partition's local top-k under
     the same total order)."""
+    clash = {"_pid", "_r1", rank_col}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"_topk_skew_safe: input already has column(s) {sorted(clash)} "
+            "— rename them or pass a different rank_col")
     pks = [part_keys] if isinstance(part_keys, str) else list(part_keys)
     w1 = Window.partitionBy(*pks, "_pid").orderBy(*order_cols)
     local = (df.withColumn("_pid", F.spark_partition_id())
@@ -96,19 +101,24 @@ def neardup_pairs_bucketed(corpus: DataFrame, threshold: float,
     return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
-def _cos_lit(vec, col_name: str) -> F.Column:
-    """Cosine between a driver-side literal vector and an array column,
-    with the same double accumulation order as _cos_expr / the oracle."""
+def _cos_lit(vec, norm: float, col_name: str) -> F.Column:
+    """Cosine between a driver-side literal vector (with its norm
+    precomputed on the driver — it is a constant) and an array column,
+    same double accumulation order as _cos_expr / the oracle."""
     a = F.array(*[F.lit(float(v)) for v in vec])
     b = F.col(col_name)
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0),
-                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0),
                             lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+    return dot / (F.lit(norm) * nb)
+
+
+# above this many centroids, inlining literal expressions would bloat the
+# Catalyst plan (O(C*dim) nodes — codegen limits, driver plan memory); the
+# assignment switches to a broadcast join + one sortless hash aggregate
+IVF_INLINE_MAX_CENTROIDS = 64
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,
@@ -116,24 +126,45 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
                cent_id: str = "cent_id", cent_vec: str = "cent_vec",
                round_digits: int = 6) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (deterministic
-    tie-break on smallest centroid id): the IVF coarse quantizer.  The
-    centroid table is small by contract (it IS the coarse quantizer), so it
-    is collected once and inlined as literal expressions — the assignment
-    is then a pure map-side argmax over the corpus: no join, no row
-    expansion, and NO shuffle of the corpus at any scale.  Output adds
-    `cell`.  `array_position` returns the FIRST index of the max, and
-    centroids are evaluated in ascending-id order, so ties break on the
-    smallest centroid id."""
+    tie-break on smallest centroid id): the IVF coarse quantizer.  Output
+    adds `cell`.
+
+    Small quantizers (<= IVF_INLINE_MAX_CENTROIDS): centroids are
+    collected and inlined as literal expressions (norms precomputed on the
+    driver) — a pure map-side argmax with no join, no row expansion and NO
+    shuffle of the corpus.  `array_position` returns the FIRST index of
+    the max and centroids are evaluated in ascending-id order, so ties
+    break on the smallest id.
+
+    Large quantizers: broadcast cross join + ONE sortless hash aggregate —
+    `min(struct(-cos, cent_id))` per corpus row gives max-cos with
+    ascending-id tie-break (min of negated cosine), grouped on every
+    corpus column so the full row rides through; one shuffle of the
+    corpus, no window sort, any centroid count."""
+    import math
     cents = sorted(centroids.select(cent_id, cent_vec).collect(),
                    key=lambda r: r[0])
     if not cents:
         raise ValueError("ivf_assign: empty centroid table")
-    coses = F.array(*[F.round(_cos_lit(r[1], vec_col), round_digits)
-                      for r in cents])
-    ids = F.array(*[F.lit(r[0]) for r in cents])
-    cell = F.element_at(
-        ids, F.array_position(coses, F.array_max(coses)).cast("int"))
-    return df.withColumn("cell", cell)
+
+    if len(cents) <= IVF_INLINE_MAX_CENTROIDS:
+        coses = F.array(*[
+            F.round(_cos_lit(r[1],
+                             math.sqrt(sum(float(v) * float(v) for v in r[1])),
+                             vec_col), round_digits)
+            for r in cents])
+        ids = F.array(*[F.lit(r[0]) for r in cents])
+        cell = F.element_at(
+            ids, F.array_position(coses, F.array_max(coses)).cast("int"))
+        return df.withColumn("cell", cell)
+
+    j = df.crossJoin(F.broadcast(centroids.select(cent_id, cent_vec)))
+    j = j.withColumn("_negcos", -F.round(_cos_expr(cent_vec, vec_col),
+                                         round_digits))
+    best = (j.groupBy(*df.columns)
+             .agg(F.min(F.struct(F.col("_negcos"), F.col(cent_id)))
+                  .alias("_best")))
+    return best.withColumn("cell", F.col(f"_best.{cent_id}")).drop("_best")
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,

@@ -64,7 +64,13 @@ def warn_if_partial_nan(pix_values: DataFrame, dims=("t",),
 
     Cost: one hash aggregate per diagnosed dim (all map-side partials) —
     an opt-in diagnostic, not on the aggregate hot path."""
-    dims = [d for d in dims if d in pix_values.columns]
+    missing = [d for d in dims if d not in pix_values.columns]
+    if missing:
+        raise ValueError(
+            f"warn_if_partial_nan: dim column(s) {missing} not in the "
+            f"input ({pix_values.columns}) — a silent skip here would "
+            "report 'no partial NaNs' without having checked")
+    dims = list(dims)
     vkeys = [var_col] if var_col and var_col in pix_values.columns else []
     v = F.col(value_col)
     df = pix_values.withColumn("_f", (~F.isnan(v) & v.isNotNull()).cast("int"))

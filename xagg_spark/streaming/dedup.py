@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 DOC_SCHEMA = "doc_id long, text string"
 OUT_SCHEMA = "doc_id long, digest string, grp int"
 STATE_SCHEMA = "bloom binary"
+STATE_SCHEMA_EXACT = "seen array<string>"
 
 DEFAULT_BLOOM_BITS = 1 << 23          # 1 MiB of state per group
 DEFAULT_BLOOM_K = 7
@@ -69,30 +70,55 @@ def _make_dedup_fn(m_bits: int, k: int):
     return _dedup_fn
 
 
+def _exact_dedup_fn(key, pdf_iter, state):
+    """Pre-Bloom state shape: the full digest set per group.  Zero false
+    positives, but state grows linearly with the corpus — use for small
+    corpora or when no unique document may ever be dropped."""
+    seen = set(state.get[0]) if state.exists else set()
+    parts = []
+    for pdf in pdf_iter:
+        mask = (~pdf["digest"].isin(seen)) & (~pdf["digest"].duplicated())
+        parts.append(pdf.loc[mask, ["doc_id", "digest", "grp"]])
+        seen.update(pdf["digest"])
+    state.update((list(seen),))
+    if parts:
+        yield pd.concat(parts)
+
+
 def stream_dedup_exact(spark: SparkSession, source_dir: str, out_dir: str,
                        checkpoint_dir: str, n_groups: int = 8,
                        max_files_per_trigger: int = 4,
                        bloom_bits: int = DEFAULT_BLOOM_BITS,
-                       bloom_k: int = DEFAULT_BLOOM_K):
+                       bloom_k: int = DEFAULT_BLOOM_K,
+                       state: str = "bloom"):
     """Start the streaming dedup: parquet file-source -> digest ->
     per-group stateful first-occurrence filter -> parquet sink.  Returns
     the StreamingQuery (availableNow trigger: drains pending input, then
-    stops).  Restarting with the same checkpoint restores the Bloom state.
+    stops).  Restarting with the same checkpoint restores the state.
 
-    Duplicate suppression is exact (no false negatives); uniques are
-    dropped at the Bloom false-positive rate — size bloom_bits/n_groups to
-    the corpus (see module docstring)."""
+    state='bloom' (default, the scale path): constant-size per-group
+    Bloom state — duplicate suppression has no false negatives, but
+    uniques are dropped at the Bloom false-positive rate (size
+    bloom_bits/n_groups to the corpus, module docstring).
+    state='exact': the full digest set per group — zero dropped uniques,
+    state grows with the corpus.  The two modes use DIFFERENT state
+    schemas, so a checkpoint written by one cannot be resumed by the
+    other (pick the mode per stream and keep it)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if state not in ("bloom", "exact"):
+        raise ValueError(f"state must be 'bloom' or 'exact', got {state!r}")
     stream = (spark.readStream.schema(DOC_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(source_dir))
     keyed = (stream.withColumn("digest", F.md5(F.col("text")))
                    .withColumn("grp", F.pmod(F.xxhash64("digest"),
                                              F.lit(n_groups)).cast("int")))
+    fn = (_make_dedup_fn(bloom_bits, bloom_k) if state == "bloom"
+          else _exact_dedup_fn)
+    schema = STATE_SCHEMA if state == "bloom" else STATE_SCHEMA_EXACT
     deduped = (keyed.groupBy("grp")
-               .applyInPandasWithState(_make_dedup_fn(bloom_bits, bloom_k),
-                                       OUT_SCHEMA, STATE_SCHEMA,
+               .applyInPandasWithState(fn, OUT_SCHEMA, schema,
                                        "append",
                                        GroupStateTimeout.NoTimeout))
     return (deduped.writeStream.format("parquet")
