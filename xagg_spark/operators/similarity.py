@@ -16,12 +16,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+                  f"cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _norm_expr(a: str) -> F.Column:
+    return F.expr(f"sqrt(aggregate({a}, cast(0.0 as double), "
+                  f"(acc, v) -> acc + cast(v as double) * cast(v as double)))")
+
+
 def _cos_expr(a: str, b: str) -> F.Column:
-    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-                 f"cast(0.0 as double), (acc, v) -> acc + v)")
-    na = F.expr(f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    nb = F.expr(f"sqrt(aggregate({b}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))")
-    return dot / (na * nb)
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+def _cos_pre(a: str, b: str, na: str, nb: str) -> F.Column:
+    """Cosine with PRE-HOISTED norm columns: in the O(n x candidates)
+    join paths each vector's norm is a per-VECTOR constant, so computing
+    it per pair wastes ~2/3 of the expression work — hoist it to a column
+    on each side before the join.  Same multiplication order as _cos_expr
+    (dot / (na * nb)), so results are bit-identical."""
+    return _dot_expr(a, b) / (F.col(na) * F.col(nb))
 
 
 def _topk_skew_safe(df: DataFrame, part_keys, order_cols, k: int,
@@ -58,8 +73,11 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     """Exact top-k by cosine: broadcast the (small) query side, skew-safe
     two-phase top-k per query with deterministic tie-break on corpus id.
     Output: (q_id, rank, vec_id, cos)."""
-    j = corpus.crossJoin(F.broadcast(queries))
-    j = j.withColumn("cos", F.round(_cos_expr(q_vec, c_vec), round_digits))
+    c = corpus.withColumn("_nc", _norm_expr(c_vec))
+    q = queries.withColumn("_nq", _norm_expr(q_vec))
+    j = c.crossJoin(F.broadcast(q))
+    j = j.withColumn("cos", F.round(_cos_pre(q_vec, c_vec, "_nq", "_nc"),
+                                    round_digits))
     top = _topk_skew_safe(j, q_id, [F.desc("cos"), F.col(c_id).asc()], k)
     return top.select(q_id, "rank", c_id, "cos")
 
@@ -71,10 +89,14 @@ def neardup_pairs(corpus: DataFrame, threshold: float,
     test-scale baseline and the verifier for the bucketed path below.  At
     corpus scale use neardup_pairs_bucketed (the default for >10^6 rows in
     any pipeline: bounded shuffle keys, no cartesian)."""
-    a = corpus.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"))
-    b = corpus.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"))
+    n = corpus.withColumn("_n", _norm_expr(c_vec))
+    a = n.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"),
+                 F.col("_n").alias("na"))
+    b = n.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"),
+                 F.col("_n").alias("nb"))
     j = a.join(b, F.col("id_a") < F.col("id_b"))
-    j = j.withColumn("cos", F.round(_cos_expr("va", "vb"), round_digits))
+    j = j.withColumn("cos", F.round(_cos_pre("va", "vb", "na", "nb"),
+                                    round_digits))
     return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
@@ -90,14 +112,16 @@ def neardup_pairs_bucketed(corpus: DataFrame, threshold: float,
     near-dup pipelines use (>= 0.9) few planes keep recall high while
     cutting candidates by ~2^planes."""
     b = lsh_bucket_candidates(corpus, n_planes=n_planes,
-                              c_id=c_id, c_vec=c_vec)
+                              c_id=c_id, c_vec=c_vec) \
+        .withColumn("_n", _norm_expr(c_vec))
     a = b.select(F.col(c_id).alias("id_a"), F.col(c_vec).alias("va"),
-                 F.col("bucket").alias("ba"))
+                 F.col("bucket").alias("ba"), F.col("_n").alias("na"))
     c = b.select(F.col(c_id).alias("id_b"), F.col(c_vec).alias("vb"),
-                 F.col("bucket").alias("bb"))
+                 F.col("bucket").alias("bb"), F.col("_n").alias("nb"))
     j = a.join(c, (F.col("ba") == F.col("bb"))
                & (F.col("id_a") < F.col("id_b")))
-    j = j.withColumn("cos", F.round(_cos_expr("va", "vb"), round_digits))
+    j = j.withColumn("cos", F.round(_cos_pre("va", "vb", "na", "nb"),
+                                    round_digits))
     return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
@@ -181,7 +205,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
     SQL-reproducible), ranking ties break on ids.  At scale, pre-materialize
     ivf_assign(corpus) bucketed by cell so probes prune partitions."""
     cells = ivf_assign(corpus, centroids, id_col=c_id, vec_col=c_vec,
-                       round_digits=round_digits)
+                       round_digits=round_digits) \
+        .withColumn("_nc", _norm_expr(c_vec))
     probes = queries.crossJoin(F.broadcast(centroids))
     probes = probes.withColumn("_cos", F.round(_cos_expr("cent_vec", q_vec),
                                                round_digits))
@@ -189,9 +214,10 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                                           F.col("cent_id").asc())
     probes = (probes.withColumn("_r", F.row_number().over(wq))
                     .filter(F.col("_r") <= nprobe)
-                    .select(q_id, q_vec, F.col("cent_id").alias("cell")))
+                    .select(q_id, q_vec, F.col("cent_id").alias("cell"))
+                    .withColumn("_nq", _norm_expr(q_vec)))
     cand = cells.join(F.broadcast(probes), "cell")
-    cand = cand.withColumn("cos", F.round(_cos_expr(q_vec, c_vec),
+    cand = cand.withColumn("cos", F.round(_cos_pre(q_vec, c_vec, "_nq", "_nc"),
                                           round_digits))
     top = _topk_skew_safe(cand, q_id, [F.desc("cos"), F.col(c_id).asc()], k)
     return top.select(q_id, "rank", c_id, "cos")
