@@ -1094,30 +1094,45 @@ FROM q LEFT JOIN ncand n ON q.q_id = n.q_id LEFT JOIN hits h ON q.q_id = h.q_id
 """
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF scale path for ANN: deterministic coarse quantizer (centroids =
-    the first 16 corpus vectors), nprobe=4 probed lists, exact re-rank
-    within them.  Output (q_id, rank, vec_id, cos) — the oracle replays
-    assignment, probing and re-rank in SQL."""
+def _q_ann_ivf(spark: SparkSession, sf_dir: str, n_cent: int,
+               nprobe: int) -> DataFrame:
     from .operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    centroids = (emb.filter(F.col("vec_id") < 16)
+    centroids = (emb.filter(F.col("vec_id") < n_cent)
                     .select(F.col("vec_id").alias("cent_id"),
                             F.col("embedding").alias("cent_vec")))
     queries = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("q_id"),
                           F.col("embedding").alias("q_vec")))
-    corpus = emb.filter(F.col("vec_id") >= 16)
-    return (ivf_topk(queries, corpus, centroids, k=10, nprobe=4)
+    corpus = emb.filter(F.col("vec_id") >= n_cent)
+    return (ivf_topk(queries, corpus, centroids, k=10, nprobe=nprobe)
             .select("q_id", F.col("rank").cast("long").alias("rank"),
                     "vec_id", "cos"))
 
 
-SQL_ANN_IVF = """
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path for ANN: deterministic coarse quantizer (centroids =
+    the first 16 corpus vectors — the INLINE map-side argmax assignment),
+    nprobe=4 probed lists, exact re-rank within them.  Output (q_id,
+    rank, vec_id, cos) — the oracle replays assignment, probing and
+    re-rank in SQL."""
+    return _q_ann_ivf(spark, sf_dir, n_cent=16, nprobe=4)
+
+
+def q_ann_ivf_large_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same IVF pipeline with a 100-centroid quantizer — above
+    IVF_INLINE_MAX_CENTROIDS, so the assignment runs the broadcast-join +
+    sortless struct-min path; the oracle replays it identically (the SQL
+    is quantizer-size-agnostic)."""
+    return _q_ann_ivf(spark, sf_dir, n_cent=100, nprobe=8)
+
+
+def _sql_ann_ivf(n_cent: int, nprobe: int) -> str:
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_cent}),
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-c AS (SELECT vec_id, v FROM e WHERE vec_id >= 16),
+c AS (SELECT vec_id, v FROM e WHERE vec_id >= {n_cent}),
 cells AS (
   SELECT vec_id, v, cent_id AS cell FROM (
     SELECT c.vec_id, c.v, cent.cent_id,
@@ -1132,7 +1147,7 @@ probes AS (
            row_number() OVER (PARTITION BY q.q_id
                               ORDER BY round(list_cosine_similarity(cent.cv, q.qv), 6) DESC,
                                        cent.cent_id) AS r
-    FROM q CROSS JOIN cent) WHERE r <= 4
+    FROM q CROSS JOIN cent) WHERE r <= {nprobe}
 ),
 cand AS (
   SELECT p.q_id, s.vec_id,
@@ -1336,6 +1351,7 @@ def all_queries():
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_large_quantizer": q_ann_ivf_large_quantizer,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
         "image_decode_stats": q_image_decode_stats,
@@ -1377,7 +1393,8 @@ def all_oracle_sql():
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN,
         "ann_lsh_recall": SQL_ANN_LSH_RECALL,
-        "ann_ivf_topk": SQL_ANN_IVF,
+        "ann_ivf_topk": _sql_ann_ivf(16, 4),
+        "ann_ivf_large_quantizer": _sql_ann_ivf(100, 8),
         "embedding_neardup": SQL_EMB_NEARDUP,
         "embedding_neardup_bucketed": SQL_EMB_NEARDUP_BUCKETED,
         # codec-backed queries: deterministic seeded inputs + own codecs,
