@@ -309,15 +309,17 @@ def run():
             # (read_copartitioned intentionally carries n_rows=None)
             n_a, n_b = wm_c.n_rows, wm_r.n_rows
             # reldiff is NULL when the join is empty (the very mismatch
-            # this gate exists to catch) — report inf, don't crash
+            # this gate exists to catch) — report null (inf would make
+            # json.dumps emit non-RFC 'Infinity'), equal stays false
             reldiff = (float(stats["reldiff"])
-                       if stats["reldiff"] is not None else float("inf"))
+                       if stats["reldiff"] is not None else None)
             resume_check = {
                 "rows_straight": int(n_a), "rows_resumed": int(n_b),
                 "rows_joined": int(stats["n"]),
                 "buckets_recomputed_after_kill": int(n_resumed),
                 "max_rel_diff": reldiff,
                 "equal": bool(n_a == n_b == stats["n"]
+                              and reldiff is not None
                               and reldiff < 1e-12)}
             _sh.rmtree(ckpt, ignore_errors=True)
 

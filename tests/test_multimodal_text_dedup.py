@@ -249,3 +249,38 @@ def test_warn_partial_nan_rejects_missing_dim(spark):
         {"pix_idx": [0], "var": ["v"], "t": [0], "value": [1.0]}))
     with pytest.raises(ValueError, match="time"):
         warn_if_partial_nan(df, dims=("time",))
+
+
+def test_ivf_assign_join_path_edge_cases(spark):
+    """Join-path hardening: duplicate corpus rows survive (row multiplicity
+    preserved), a NULL-element centroid can never win the argmin, and
+    colliding column names raise up front."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    from xagg_spark.operators import similarity as sim
+
+    sch = StructType([StructField("vec_id", LongType()),
+                      StructField("embedding", ArrayType(FloatType()))])
+    csch = StructType([StructField("cent_id", LongType()),
+                       StructField("cent_vec", ArrayType(FloatType()))])
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (5, [1.0, 0.0]), (7, [0.0, 1.0])], schema=sch)
+    # 70 centroids (> inline max): cents 0 and 1 are both exact matches
+    # for [1,0] (tie -> smallest id 0); cent 40 has a NULL element
+    rows = [(int(i), [float(np.cos(i / 7.0)), float(np.sin(i / 7.0))])
+            for i in range(70)]
+    rows[40] = (40, [None, 1.0])
+    rows[1] = (1, [1.0, 0.0])
+    cents = spark.createDataFrame(rows, schema=csch)
+
+    out = sim.ivf_assign(corpus, cents).toPandas()
+    assert len(out) == 3                         # duplicate row preserved
+    assert (out[out.vec_id == 5]["cell"] == 0).all()   # tie -> smallest id
+    assert (out["cell"] != 40).all()             # broken centroid never wins
+
+    with pytest.raises(ValueError, match="_negcos"):
+        sim.ivf_assign(corpus.withColumn("_negcos", F.lit(1.0)), cents)
+    with pytest.raises(ValueError, match="cell"):
+        sim.ivf_assign(corpus.withColumn("cell", F.lit(0)), cents)

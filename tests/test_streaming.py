@@ -109,8 +109,7 @@ def test_stream_dedup_exact_state_mode(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert len(got) == 3 and 4 not in set(got["doc_id"])
 
-    import pytest as _pt
-    with _pt.raises(ValueError, match="bloom"):
+    with pytest.raises(ValueError, match="bloom"):
         stream_dedup_exact(spark, str(src), out, ck, state="nope")
 
 

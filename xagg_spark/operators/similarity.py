@@ -162,10 +162,18 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
 
     Large quantizers: broadcast cross join + ONE sortless hash aggregate —
     `min(struct(-cos, cent_id))` per corpus row gives max-cos with
-    ascending-id tie-break (min of negated cosine), grouped on every
-    corpus column so the full row rides through; one shuffle of the
-    corpus, no window sort, any centroid count."""
+    ascending-id tie-break (min of negated cosine); rows are keyed by a
+    synthetic row id so duplicate corpus rows survive and the shuffle key
+    is one long, not the embedding array; a NULL cosine (corrupt centroid
+    vector) is coalesced to +inf so it can never win the argmin.  One
+    shuffle of the corpus, no window sort, any centroid count."""
     import math
+    clash = {"_negcos", "_best", "_rowid", "cell",
+             cent_id, cent_vec}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"ivf_assign: corpus already has column(s) {sorted(clash)} — "
+            "rename them before assignment")
     cents = sorted(centroids.select(cent_id, cent_vec).collect(),
                    key=lambda r: r[0])
     if not cents:
@@ -182,13 +190,22 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
             ids, F.array_position(coses, F.array_max(coses)).cast("int"))
         return df.withColumn("cell", cell)
 
-    j = df.crossJoin(F.broadcast(centroids.select(cent_id, cent_vec)))
-    j = j.withColumn("_negcos", -F.round(_cos_expr(cent_vec, vec_col),
-                                         round_digits))
-    best = (j.groupBy(*df.columns)
-             .agg(F.min(F.struct(F.col("_negcos"), F.col(cent_id)))
+    # synthetic per-row key: preserves duplicate corpus rows and keeps the
+    # shuffle keyed on one long instead of the embedding array.  The id is
+    # partition-order dependent, but it never leaves this operator — every
+    # output column is either carried verbatim (first() within a group of
+    # identical-row copies) or the deterministic argmin result.
+    keyed = df.withColumn("_rowid", F.monotonically_increasing_id())
+    j = keyed.crossJoin(F.broadcast(centroids.select(cent_id, cent_vec)))
+    negcos = F.coalesce(-F.round(_cos_expr(cent_vec, vec_col), round_digits),
+                        F.lit(float("inf")))
+    j = j.withColumn("_negcos", negcos)
+    best = (j.groupBy("_rowid")
+             .agg(*[F.first(c).alias(c) for c in df.columns],
+                  F.min(F.struct(F.col("_negcos"), F.col(cent_id)))
                   .alias("_best")))
-    return best.withColumn("cell", F.col(f"_best.{cent_id}")).drop("_best")
+    return (best.withColumn("cell", F.col(f"_best.{cent_id}"))
+                .drop("_best", "_rowid"))
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
