@@ -284,3 +284,27 @@ def test_ivf_assign_join_path_edge_cases(spark):
         sim.ivf_assign(corpus.withColumn("_negcos", F.lit(1.0)), cents)
     with pytest.raises(ValueError, match="cell"):
         sim.ivf_assign(corpus.withColumn("cell", F.lit(0)), cents)
+
+
+def test_ngram_jaccard_stop_gram_cut(spark):
+    """max_doc_freq drops ubiquitous grams from intersection AND sizes
+    consistently (Jaccard over the informative-gram subsets)."""
+    from xagg_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 'zzz' (gram 'zzz' with n=3 context) appears in all 3 docs
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["zzzabc", "zzzabd", "zzzxyz"]}))
+    exact = ngram_jaccard_pairs(df, "text", "doc_id", n=3).toPandas()
+    cut = ngram_jaccard_pairs(df, "text", "doc_id", n=3,
+                              max_doc_freq=2).toPandas()
+    # exact: doc0 grams {zzz,zza,zab,abc}, doc1 {zzz,zza,zab,abd}:
+    # inter 3 / union 5 = 0.6
+    e01 = exact[(exact.id_a == 0) & (exact.id_b == 1)].jaccard.iloc[0]
+    assert np.isclose(e01, 0.6)
+    # with max_doc_freq=2 the all-docs grams zzz (df=3) drop; zza/zab have
+    # df=2 and stay: doc0 {zza,zab,abc}, doc1 {zza,zab,abd}: 2/4 = 0.5
+    c01 = cut[(cut.id_a == 0) & (cut.id_b == 1)].jaccard.iloc[0]
+    assert np.isclose(c01, 0.5)
+    # pair (0,2) shared only the dropped ubiquitous grams -> disappears
+    assert len(cut[(cut.id_a == 0) & (cut.id_b == 2)]) == 0

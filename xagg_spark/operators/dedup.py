@@ -79,11 +79,25 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         pairs: DataFrame | None = None,
-                        n: int = 4, threshold: float = 0.0) -> DataFrame:
+                        n: int = 4, threshold: float = 0.0,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (or all pairs if None —
-    test-scale only).  Returns (id_a, id_b, jaccard)."""
+    test-scale only).  Returns (id_a, id_b, jaccard).
+
+    max_doc_freq: optional stop-gram cut for the all-pairs path at scale —
+    a gram appearing in more than this many documents is dropped from the
+    WHOLE computation (intersection AND set sizes), i.e. Jaccard over the
+    informative-gram subsets.  Without it, one ubiquitous gram ("the ",
+    boilerplate headers) self-joins into n_docs^2 rows.  Default None
+    keeps the exact semantics (and the oracle)."""
     grams = (df.select(F.col(id_col).alias("_id"),
                        F.explode(F.array_distinct(_shingles(text_col, n))).alias("g")))
+    if max_doc_freq is not None:
+        rare = (grams.groupBy("g")
+                     .agg(F.count(F.lit(1)).alias("_df"))
+                     .filter(F.col("_df") <= max_doc_freq)
+                     .select("g"))
+        grams = grams.join(rare, "g")
     if pairs is None:
         ga, gb = grams.alias("ga"), grams.alias("gb")
         inter = (ga.join(gb, (F.col("ga.g") == F.col("gb.g"))
