@@ -160,3 +160,34 @@ def test_diag_fig_png(spark, tmp_path):
     finite = np.isfinite(img)
     assert finite.sum() >= n_overlap          # all overlap pixels drawn
     assert np.nanmax(img) <= 1.0 + 1e-6 and np.nanmin(img[finite]) >= 0.0
+
+
+def test_diag_fig_selection_parity(spark):
+    """Reference diag_fig selection semantics: list of ints, attribute
+    dict, and the TypeError for a non-int list (xagg/diag.py:55-63)."""
+    import pandas as pd
+    import pytest
+
+    from xagg_spark import GridSpec, PolygonSet, rect_ring
+    from xagg_spark.codecs.image import _decode_png16
+    from xagg_spark.diag import diag_fig
+    from xagg_spark.operators import pixel_overlaps
+
+    grid = GridSpec(lat_edge=-4.0, lon_edge=-4.0, dlat=0.5, dlon=0.5,
+                    nlat=16, nlon=16, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(-3.3, -3.1, -0.8, -0.6),
+                        rect_ring(0.7, 0.9, 3.2, 3.4)],
+                       pd.DataFrame({"name": ["west", "east"],
+                                     "kind": ["a", "a"]}))
+    wm = pixel_overlaps(spark, grid, polys)
+    one = np.isfinite(_decode_png16(diag_fig(wm, 0))).sum()
+    both = np.isfinite(_decode_png16(diag_fig(wm, [0, 1]))).sum()
+    assert both > one                       # second polygon's pixels added
+    by_attr = np.isfinite(_decode_png16(diag_fig(wm, {"kind": "a"}))).sum()
+    assert by_attr == both                  # dict matched both polygons
+    assert np.isfinite(
+        _decode_png16(diag_fig(wm, {"name": "east"}))).sum() < both
+    with pytest.raises(TypeError, match="integers"):
+        diag_fig(wm, [0, "east"])
+    with pytest.raises(ValueError, match="no polygon matches"):
+        diag_fig(wm, {"name": "nope"})

@@ -25,17 +25,46 @@ def _grid_axes(grid):
     return ag
 
 
-def diag_fig(wm, poly_idx: int = 0, fn: str | None = None,
+def _select_poly_idxs(wm, poly_id) -> list:
+    """Reference diag_fig selection semantics (xagg/diag.py:55-63):
+    int -> that polygon; dict -> every polygon whose attributes match all
+    key/value pairs; list -> those indices (TypeError parity for non-int
+    members)."""
+    if isinstance(poly_id, (int, np.integer)):
+        return [int(poly_id)]
+    if isinstance(poly_id, dict):
+        attrs = wm.polys.attrs.reset_index(drop=True)
+        mask = np.ones(len(attrs), dtype=bool)
+        for k, v in poly_id.items():
+            mask &= (attrs[k] == v).to_numpy()
+        return [int(i) for i in np.where(mask)[0]]
+    if isinstance(poly_id, list):
+        if not all(isinstance(k, (int, np.integer)) for k in poly_id):
+            raise TypeError(
+                "If using list polygon ids, all list members must be "
+                "integers corresponding to polygon idxs in `wm.agg`.")
+        return [int(k) for k in poly_id]
+    raise TypeError(f"poly_id must be int, list or dict, got {type(poly_id)}")
+
+
+def diag_fig(wm, poly_id=0, fn: str | None = None,
              pad_cells: int = 2) -> bytes:
-    """Render one polygon's overlap raster to PNG bytes (optionally also
-    written to ``fn``).  Driver-side: a single polygon's overlap rows are
-    tiny relative to the weightmap."""
+    """Render the selected polygon(s)' overlap raster to PNG bytes
+    (optionally also written to ``fn``).  poly_id: int, list of ints, or
+    an attribute-match dict — reference selection parity.  With several
+    polygons the raster holds each pixel's MAX rel_area across them and
+    every selected boundary is traced.  Driver-side: the selected
+    polygons' overlap rows are tiny relative to the weightmap."""
     from .codecs.image import encode_tile
 
-    pdf = (wm.overlaps.filter(F.col("poly_idx") == int(poly_idx))
-             .select("pix_idx", "rel_area").toPandas())
+    idxs = _select_poly_idxs(wm, poly_id)
+    if not idxs:
+        raise ValueError(f"no polygon matches {poly_id!r}")
+    pdf = (wm.overlaps.filter(F.col("poly_idx").isin([int(i) for i in idxs]))
+             .groupBy("pix_idx")
+             .agg(F.max("rel_area").alias("rel_area")).toPandas())
     if len(pdf) == 0:
-        raise ValueError(f"polygon {poly_idx} has no overlaps")
+        raise ValueError(f"polygon {poly_id} has no overlaps")
     ag = _grid_axes(wm.grid)
     nlon = ag.nlon
     iy = (pdf["pix_idx"].to_numpy() // nlon).astype(int)
@@ -50,9 +79,9 @@ def diag_fig(wm, poly_idx: int = 0, fn: str | None = None,
     peak = float(rel.max()) or 1.0
     img[iy - y0, ix - x0] = rel / peak
 
-    # trace the polygon boundary at full intensity (the reference overlays
-    # the polygon edge on the pcolormesh)
-    for ring in wm.polys.rings[int(poly_idx)]:
+    # trace every selected polygon boundary at full intensity (the
+    # reference overlays the polygon edges on the pcolormesh)
+    for ring in [r for i in idxs for r in wm.polys.rings[int(i)]]:
         a = np.asarray(ring)
         b = np.roll(a, -1, axis=0)
         for (lon_a, lat_a), (lon_b, lat_b) in zip(a, b):
