@@ -83,3 +83,16 @@ def test_knn_global_unchanged(spark):
         "c_lat": [-4.125, 6.1875],
     })
     _run(spark, grid, centers, k=4, expect_epsg=_ell.EPSG_GLOBAL)
+
+
+def test_knn_k_exceeds_pixel_count(spark):
+    """k larger than the whole grid: the expansion hits max_radius and
+    returns every pixel, fully ranked — no infinite loop, no error."""
+    grid = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=1.0, dlon=1.0,
+                    nlat=3, nlon=3, tile_h=3, tile_w=3)
+    centers = pd.DataFrame({"q_id": np.array([0], dtype=np.int64),
+                            "c_lon": [1.3], "c_lat": [1.2]})
+    pixels = pixel_geometry(spark, grid).select("pix_idx", "lat", "lon")
+    got = knn_pixels(spark, pixels, centers, k=50).toPandas()
+    assert len(got) == 9                          # all pixels returned
+    assert sorted(got["rank"]) == list(range(1, 10))
