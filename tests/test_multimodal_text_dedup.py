@@ -308,3 +308,40 @@ def test_ngram_jaccard_stop_gram_cut(spark):
     assert np.isclose(c01, 0.5)
     # pair (0,2) shared only the dropped ubiquitous grams -> disappears
     assert len(cut[(cut.id_a == 0) & (cut.id_b == 2)]) == 0
+
+
+def test_ivf_assign_degenerate_rows_same_on_both_paths(spark):
+    """ADVICE r3: a zero-norm (NULL cosine) or NaN-producing corpus vector
+    must be assigned IDENTICALLY by the inline (<=64 centroids) and the
+    broadcast-join paths — one degenerate-input rule for both."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    from xagg_spark.operators import similarity as sim
+
+    sch = StructType([StructField("vec_id", LongType()),
+                      StructField("embedding", ArrayType(DoubleType()))])
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]),            # normal row
+         (1, [0.0, 0.0]),            # zero norm -> NULL cosine (x/0 -> NULL)
+         (2, [None, 1.0]),           # null element -> NULL cosine
+         (3, [0.6, 0.8])], schema=sch)
+    cents = spark.createDataFrame(
+        [(7, [0.0, 1.0]), (3, [1.0, 0.0]), (5, [0.7, 0.7])], schema=sch) \
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+
+    inline = {r["vec_id"]: r["cell"]
+              for r in sim.ivf_assign(corpus, cents).collect()}
+    old = sim.IVF_INLINE_MAX_CENTROIDS
+    sim.IVF_INLINE_MAX_CENTROIDS = 0          # force the join path
+    try:
+        joined = {r["vec_id"]: r["cell"]
+                  for r in sim.ivf_assign(corpus, cents).collect()}
+    finally:
+        sim.IVF_INLINE_MAX_CENTROIDS = old
+    assert inline == joined
+    # normal rows assigned by cosine; degenerate rows -> smallest cent_id
+    assert inline[0] == 3 and inline[3] == 5
+    assert inline[1] == 3 and inline[2] == 3

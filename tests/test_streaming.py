@@ -207,3 +207,45 @@ def test_stream_events_hourly_watermark(spark, tmp_path):
     assert int(by_type.loc["view", "n"]) == 2     # late value=100 dropped
     assert float(by_type.loc["view", "sum_value"]) == 3.0
     assert int(by_type.loc["click", "n"]) == 1
+
+
+def test_bloom_sizing_helpers_and_overfill_warning():
+    """VERDICT r3 ask #5: bloom_capacity/bloom_bits_needed are mutually
+    consistent, and the stateful fn warns when (and only when) a group's
+    estimated unique-drop rate exceeds the target FP."""
+    import hashlib
+    import warnings as _w
+
+    from xagg_spark.streaming.dedup import (BloomOverfillWarning,
+                                            _make_dedup_fn, bloom_bits_needed,
+                                            bloom_capacity)
+
+    # inverse consistency: bits sized for N docs must hold >= N docs
+    for n_docs in (1_000, 50_000):
+        bits = bloom_bits_needed(n_docs, k=7, target_fp=0.01)
+        assert bloom_capacity(bits, k=7, target_fp=0.01) >= n_docs
+    # the documented default: ~600k docs/group at ~1% with 2^23 bits
+    assert 400_000 < bloom_capacity(1 << 23, 7, 0.01) < 900_000
+    with pytest.raises(ValueError, match="target_fp"):
+        bloom_capacity(1 << 16, 7, 1.5)
+
+    m_bits, k = 1 << 12, 4
+    cap = bloom_capacity(m_bits, k, 0.01)
+    fn = _make_dedup_fn(m_bits, k, target_fp=0.01)
+    state = _FakeState()
+
+    def batch(lo, hi):
+        pdf = pd.DataFrame({
+            "doc_id": np.arange(lo, hi),
+            "digest": [hashlib.md5(f"d{i}".encode()).hexdigest()
+                       for i in range(lo, hi)],
+            "grp": 0})
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            list(fn(0, [pdf], state))
+        return [w for w in rec if issubclass(w.category, BloomOverfillWarning)]
+
+    # under capacity: no warning
+    assert batch(0, max(cap // 2, 1)) == []
+    # drive well past capacity: warning fires
+    assert len(batch(10_000, 10_000 + 6 * cap)) == 1

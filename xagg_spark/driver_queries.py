@@ -1230,18 +1230,30 @@ def q_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("n") >= 2))
 
 
-# Pinned expected rows for the two codec-backed queries: the inputs are
-# seeded deterministic synth tiles and the codecs are this repo's own, so
-# the outputs are exact constants (verified identical at local[4] and
-# local[32]).  A VALUES oracle turns the former rows-only checks into full
-# row/schema/value-hash gates.
-SQL_IMAGE_DECODE_STATS = """
-SELECT * FROM (VALUES
-  ('test', CAST(0 AS BIGINT), CAST(3200 AS BIGINT),
-   CAST(49.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(97.0 AS DOUBLE))
-) AS t(var, t, n_pixels, mean_value, min_value, max_value)
+# image_decode_stats oracle: derived INDEPENDENTLY from the generator
+# formula (synth.value_sql) — the SQL recomputes every pixel's value
+# analytically and aggregates, so a codec bug that corrupts decoded values
+# fails the gate (ADVICE r3: the former VALUES pin was the engine's own
+# observed output, a regression gate rather than independent verification).
+# The PNG codec is lossless-roundtrip, so decoded values must equal the
+# formula exactly.
+SQL_IMAGE_DECODE_STATS = f"""
+SELECT 'test' AS var, CAST(0 AS BIGINT) AS t,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       round(avg(v), 2) AS mean_value,
+       round(min(v), 2) AS min_value,
+       round(max(v), 2) AS max_value
+FROM (
+  SELECT {value_sql(f'(range % {QGRID.nlon})', f'(range // {QGRID.nlon})', '0')} AS v
+  FROM range({QGRID.nlat * QGRID.nlon})
+)
 """
 
+# phash_buckets: the DCT perceptual hash is not SQL-expressible, so the
+# expected buckets stay REGRESSION-PINNED (the engine's own output on the
+# seeded synth input, verified identical at local[4] and local[32]) — an
+# exact-match regression gate, not independent verification.  The decode
+# values themselves ARE independently verified by SQL_IMAGE_DECODE_STATS.
 SQL_PHASH_BUCKETS = """
 SELECT * FROM (VALUES
   (CAST(-2177738665159614856 AS BIGINT), CAST(2 AS BIGINT), 'tile_test_0000_00000_00001'),
@@ -1397,8 +1409,8 @@ def all_oracle_sql():
         "ann_ivf_large_quantizer": _sql_ann_ivf(100, 8),
         "embedding_neardup": SQL_EMB_NEARDUP,
         "embedding_neardup_bucketed": SQL_EMB_NEARDUP_BUCKETED,
-        # codec-backed queries: deterministic seeded inputs + own codecs,
-        # so expected rows are pinned as VALUES literals (full 3-check gate)
+        # image_decode_stats: formula-derived independent oracle;
+        # phash_buckets: regression-pinned VALUES (DCT not SQL-expressible)
         "image_decode_stats": SQL_IMAGE_DECODE_STATS,
         "phash_buckets": SQL_PHASH_BUCKETS,
     }

@@ -27,7 +27,12 @@ def _norm_expr(a: str) -> F.Column:
 
 
 def _cos_expr(a: str, b: str) -> F.Column:
-    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+    # try_divide: under ANSI mode (Spark 4 default) a zero-norm vector
+    # would otherwise ABORT the job with DIVIDE_BY_ZERO; NULL instead, and
+    # every consumer maps NULL cosine through its documented degenerate
+    # rule (never wins argmax / filtered).  Identical to `/` off the
+    # degenerate path.
+    return F.try_divide(_dot_expr(a, b), _norm_expr(a) * _norm_expr(b))
 
 
 def _cos_pre(a: str, b: str, na: str, nb: str) -> F.Column:
@@ -36,7 +41,7 @@ def _cos_pre(a: str, b: str, na: str, nb: str) -> F.Column:
     it per pair wastes ~2/3 of the expression work — hoist it to a column
     on each side before the join.  Same multiplication order as _cos_expr
     (dot / (na * nb)), so results are bit-identical."""
-    return _dot_expr(a, b) / (F.col(na) * F.col(nb))
+    return F.try_divide(_dot_expr(a, b), F.col(na) * F.col(nb))
 
 
 def _topk_skew_safe(df: DataFrame, part_keys, order_cols, k: int,
@@ -136,13 +141,23 @@ def _cos_lit(vec, norm: float, col_name: str) -> F.Column:
         F.lit(0.0), lambda acc, v: acc + v)
     nb = F.sqrt(F.aggregate(b, F.lit(0.0),
                             lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (F.lit(norm) * nb)
+    # try_divide: see _cos_expr (ANSI divide-by-zero on zero-norm vectors)
+    return F.try_divide(dot, F.lit(norm) * nb)
 
 
 # above this many centroids, inlining literal expressions would bloat the
 # Catalyst plan (O(C*dim) nodes — codegen limits, driver plan memory); the
 # assignment switches to a broadcast join + one sortless hash aggregate
 IVF_INLINE_MAX_CENTROIDS = 64
+
+
+def _never_wins(c: F.Column) -> F.Column:
+    """One degenerate-cosine rule for BOTH ivf_assign paths: a NULL cosine
+    (zero-norm / null vector — Spark double division by zero yields NULL)
+    or a NaN can never win the nearest-centroid argmax.  The join path
+    negates and argmins, so the same rule is expressed there as +inf on
+    the negated value; here the cosine is used directly, so -inf."""
+    return F.when(c.isNull() | F.isnan(c), F.lit(float("-inf"))).otherwise(c)
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,
@@ -180,10 +195,15 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
         raise ValueError("ivf_assign: empty centroid table")
 
     if len(cents) <= IVF_INLINE_MAX_CENTROIDS:
+        # _never_wins: same degenerate-input rule as the join path below —
+        # without it a NULL/NaN cosine flows into array_max/array_position
+        # and the same corpus could be assigned differently depending only
+        # on quantizer size (ADVICE r3)
         coses = F.array(*[
-            F.round(_cos_lit(r[1],
-                             math.sqrt(sum(float(v) * float(v) for v in r[1])),
-                             vec_col), round_digits)
+            _never_wins(F.round(_cos_lit(
+                r[1],
+                math.sqrt(sum(float(v) * float(v) for v in r[1])),
+                vec_col), round_digits))
             for r in cents])
         ids = F.array(*[F.lit(r[0]) for r in cents])
         cell = F.element_at(
@@ -197,8 +217,13 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     # identical-row copies) or the deterministic argmin result.
     keyed = df.withColumn("_rowid", F.monotonically_increasing_id())
     j = keyed.crossJoin(F.broadcast(centroids.select(cent_id, cent_vec)))
-    negcos = F.coalesce(-F.round(_cos_expr(cent_vec, vec_col), round_digits),
-                        F.lit(float("inf")))
+    # same rule as _never_wins, expressed on the NEGATED value: NULL or NaN
+    # cosine -> +inf so it can never win the argmin (NaN would sort last in
+    # min() anyway, but the explicit mapping keeps one documented rule for
+    # both paths)
+    cosv = F.round(_cos_expr(cent_vec, vec_col), round_digits)
+    negcos = F.when(cosv.isNull() | F.isnan(cosv),
+                    F.lit(float("inf"))).otherwise(-cosv)
     j = j.withColumn("_negcos", negcos)
     best = (j.groupBy("_rowid")
              .agg(*[F.first(c).alias(c) for c in df.columns],

@@ -70,8 +70,16 @@ def warn_if_partial_nan(pix_values: DataFrame, dims=("t",),
             f"warn_if_partial_nan: dim column(s) {missing} not in the "
             f"input ({pix_values.columns}) — a silent skip here would "
             "report 'no partial NaNs' without having checked")
+    if var_col is not None and var_col not in pix_values.columns:
+        # mirror the dims guard: a misspelled var_col must not silently
+        # degrade the per-variable diagnosis to a cross-variable one
+        # (ADVICE r3).  Pass var_col=None to diagnose across variables.
+        raise ValueError(
+            f"warn_if_partial_nan: var_col {var_col!r} not in the input "
+            f"({pix_values.columns}) — pass var_col=None for a "
+            "cross-variable diagnosis")
     dims = list(dims)
-    vkeys = [var_col] if var_col and var_col in pix_values.columns else []
+    vkeys = [var_col] if var_col else []
     v = F.col(value_col)
     df = pix_values.withColumn("_f", (~F.isnan(v) & v.isNotNull()).cast("int"))
     for d in dims:
