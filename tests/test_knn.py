@@ -96,3 +96,36 @@ def test_knn_k_exceeds_pixel_count(spark):
     got = knn_pixels(spark, pixels, centers, k=50).toPandas()
     assert len(got) == 9                          # all pixels returned
     assert sorted(got["rank"]) == list(range(1, 10))
+
+
+def test_knn_polar_center_near_antimeridian(spark):
+    """ADVICE r3: a polar-LAEA center near +-180 — the projected plane has
+    no cut there, so the nearest pixels straddle the antimeridian and the
+    wrapped lon predicate must find them (the old unwrapped bbox silently
+    truncated the sector at lon=180 while the confirmation check passed)."""
+    grid = GridSpec(lat_edge=60.0, lon_edge=-180.0, dlat=1.0, dlon=5.0,
+                    nlat=20, nlon=72, tile_h=20, tile_w=72)
+    centers = pd.DataFrame({
+        "q_id": np.arange(2, dtype=np.int64),
+        "c_lon": [179.25, -179.5],
+        "c_lat": [70.125, 64.0625],
+    })
+    _run(spark, grid, centers, k=8, expect_epsg=_ell.EPSG_NORTH)
+
+
+def test_knn_plan_is_cell_hash_join_not_nested_loop(spark):
+    """VERDICT r3 ask #3: the candidate join must be a Broadcast HASH join
+    on cell_id, never a BroadcastNestedLoopJoin over four range predicates
+    (which tests every pixel against every center)."""
+    from xagg_spark.operators.knn import _ring_candidates
+
+    grid = GridSpec(lat_edge=-10.0, lon_edge=-10.0, dlat=1.0, dlon=1.0,
+                    nlat=20, nlon=20, tile_h=20, tile_w=20)
+    pixels = pixel_geometry(spark, grid).select("pix_idx", "lat", "lon")
+    pending = pd.DataFrame({"q_id": np.array([0], dtype=np.int64),
+                            "c_lon": [1.0], "c_lat": [1.0]})
+    j = _ring_candidates(spark, pixels, pending, radius=2.0, res=6,
+                         epsg=_ell.EPSG_GLOBAL, wrap_lon=False)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "cell_id" in plan
