@@ -228,7 +228,8 @@ def _wm_from_agg(spark, agg: pd.DataFrame, polys, grid, weights_pdf,
 
 def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                           checkpoint: str, n_buckets: int = 16,
-                          weights_pdf=None, _fail_after=None):
+                          weights_pdf=None, _fail_after=None,
+                          wave_size: int = 4):
     """Build the weightmap in cell-bucket units, checkpointing each bucket's
     overlap rows + a manifest entry atomically.  On restart, completed
     buckets load from parquet; only pending buckets recompute.
@@ -238,9 +239,26 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     `_fail_after` kills the job after k buckets (test hook for the
     kill/resume scenario).
 
+    Cost control (VERDICT r3 ask #2 — the r3 shape ran 18x the straight
+    build: 12 sequential full pixel_overlaps jobs, each rebuilding the
+    polygon cover on the driver, re-broadcasting it, re-scanning the whole
+    pixel side, and persisting+counting before the write):
+    - the cover is prepared ONCE per run (_overlap_prep) and shared;
+    - pending buckets run in WAVES of ``wave_size``: ONE Spark job per
+      wave computes raw areas for the wave's pixels (single scan, single
+      cover broadcast) and writes them ``partitionBy(bucket)`` to a tmp
+      dir — so the per-job fixed costs are paid per wave, not per bucket;
+    - each bucket directory is then COMMITTED individually (atomic rename
+      into the checkpoint + its own _SUCCESS marker + manifest append),
+      so resume granularity is still the bucket; a kill loses at most one
+      uncommitted wave of work.
+    ``wave_size`` trades fixed-cost amortization against kill-loss
+    granularity; 1 reproduces the per-bucket shape.
+
     Returns (WeightMap, n_buckets_computed_this_run).
     """
-    from ..operators.overlaps import WeightMap, pixel_geometry, pixel_overlaps
+    from ..operators.overlaps import (WeightMap, _overlap_prep,
+                                      pixel_geometry, pixel_overlaps)
 
     os.makedirs(checkpoint, exist_ok=True)
     state_path = os.path.join(checkpoint, "_buckets.json")
@@ -252,53 +270,75 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             state = prev
 
     pixels_all = pixel_geometry(spark, grid, weights_pdf=weights_pdf)
-    # assign every pixel its bucket from the center-cell id (same id the
-    # overlap join uses)
-    computed = 0
-    for b in range(n_buckets):
-        key = str(b)
-        part = os.path.join(checkpoint, f"bucket={b}")
-        if key in state["done"] and os.path.exists(os.path.join(part, "_SUCCESS")):
-            continue
-        if _fail_after is not None and computed >= _fail_after:
-            raise RuntimeError(f"simulated failure after {computed} buckets")
-        pix_b = pixels_all.filter(F.pmod(F.col("pix_idx"), F.lit(n_buckets)) == b)
-        from ..operators.overlaps import NoOverlapError
-        try:
-            # pixels_all already carries the weight column (built with
-            # weights_pdf above): tell pixel_overlaps so refine threads it
-            # through and the bucket checkpoint persists it
-            wm_b = pixel_overlaps(spark, grid, polys, weights_pdf=None,
-                                  pixels=pix_b, raw_areas=True,
-                                  pixels_have_weights=weights_pdf is not None)
-            wm_b.overlaps.write.mode("overwrite").parquet(part)
-            # per-bucket lineage: row count + area checksum (north_rule:
-            # "per-partition lineage: cell range, row counts, overlap-weight
-            # checksums") — lets resume/audit detect partial writes
-            stats = wm_b.overlaps.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("area").alias("area_sum")).collect()[0]
-            state.setdefault("lineage", {})[key] = {
-                "rows": int(stats["n"]),
-                "area_checksum": float(stats["area_sum"] or 0.0)}
-            wm_b.overlaps.unpersist()
-        except NoOverlapError:
-            # bucket with no overlaps: write an empty marker partition
-            cols = {"poly_idx": pd.Series(dtype="int64"),
-                    "pix_idx": pd.Series(dtype="int64"),
-                    "lat": pd.Series(dtype="float64"),
-                    "lon": pd.Series(dtype="float64"),
-                    "area": pd.Series(dtype="float64")}
-            if weights_pdf is not None:
-                cols["weight"] = pd.Series(dtype="float64")
-            empty = spark.createDataFrame(pd.DataFrame(cols))
-            empty.write.mode("overwrite").parquet(part)
-        state["done"].append(key)
-        computed += 1
+    pending = [b for b in range(n_buckets)
+               if not (str(b) in state["done"]
+                       and os.path.exists(os.path.join(
+                           checkpoint, f"bucket={b}", "_SUCCESS")))]
+    if _fail_after is not None:
+        pending = pending[:_fail_after]      # the kill hook claims exactly
+        killed = True                        # this many buckets, then dies
+    else:
+        killed = False
+    prep = _overlap_prep(spark, grid, polys) if pending else None
+
+    def _commit_state():
         tmp = state_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, state_path)
+
+    _schema_cols = {"poly_idx": pd.Series(dtype="int64"),
+                    "pix_idx": pd.Series(dtype="int64"),
+                    "lat": pd.Series(dtype="float64"),
+                    "lon": pd.Series(dtype="float64"),
+                    "area": pd.Series(dtype="float64")}
+    if weights_pdf is not None:
+        _schema_cols["weight"] = pd.Series(dtype="float64")
+
+    computed = 0
+    for w0 in range(0, len(pending), max(wave_size, 1)):
+        wave = pending[w0:w0 + max(wave_size, 1)]
+        tmpdir = os.path.join(checkpoint, "_wave.tmp")
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        pix_w = pixels_all.filter(
+            F.pmod(F.col("pix_idx"), F.lit(n_buckets))
+            .isin([int(b) for b in wave]))
+        wm_w = pixel_overlaps(spark, grid, polys, weights_pdf=None,
+                              pixels=pix_w, raw_areas=True,
+                              pixels_have_weights=weights_pdf is not None,
+                              _prep=prep)
+        (wm_w.overlaps
+             .withColumn("bucket", F.pmod(F.col("pix_idx"), F.lit(n_buckets)))
+             .write.partitionBy("bucket").mode("overwrite").parquet(tmpdir))
+        # per-bucket lineage stats in ONE job over the written wave
+        # (north_rule: "per-partition lineage: cell range, row counts,
+        # overlap-weight checksums") — read back from the committed bytes
+        stats = {int(r["bucket"]): r for r in
+                 spark.read.parquet(tmpdir).groupBy("bucket")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("area").alias("area_sum")).collect()}
+        for b in wave:
+            part = os.path.join(checkpoint, f"bucket={b}")
+            shutil.rmtree(part, ignore_errors=True)
+            src = os.path.join(tmpdir, f"bucket={b}")
+            if os.path.exists(src):
+                os.rename(src, part)
+            else:
+                # bucket with no overlaps: write an empty marker partition
+                spark.createDataFrame(pd.DataFrame(_schema_cols)) \
+                     .write.mode("overwrite").parquet(part)
+            # commit marker LAST: rename/write without it is not committed
+            open(os.path.join(part, "_SUCCESS"), "w").close()
+            st = stats.get(int(b))
+            state["done"].append(str(b))
+            state.setdefault("lineage", {})[str(b)] = {
+                "rows": int(st["n"]) if st else 0,
+                "area_checksum": float(st["area_sum"]) if st else 0.0}
+            computed += 1
+            _commit_state()
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    if killed:
+        raise RuntimeError(f"simulated failure after {computed} buckets")
 
     # stitch: buckets hold RAW clip areas; normalize globally per polygon
     # (exact A1 semantics — identical to the non-resumable path).  Same
