@@ -33,6 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
     wm = pixel_overlaps(spark, QGRID, polys)
     imgs = generate_spark(spark, QGRID, variables=("test",), ntime=3, fmt="png")
+    # P2 at the TILE level: prune tiles outside the polygons' bbox BEFORE
+    # decode (a pixel can only overlap a polygon if its tile intersects the
+    # polygon bbox, so this is value-neutral).  Over a parquet/Iceberg
+    # source the predicate sits directly on the scan; here it gates the
+    # decode UDF.
+    from xagg_spark.io.tables import prefilter_images_bbox
+    lon0, lat0, lon1, lat1 = polys.total_bounds()
+    imgs = prefilter_images_bbox(imgs, QGRID, lon0, lat0, lon1, lat1)
     pix = tiles_to_pixels(imgs, QGRID)
     out = aggregate(pix, wm, dims=("var", "t"))
     return out.select("poly_idx", "name", "n_name", "var",

@@ -115,3 +115,27 @@ def test_resume_with_weights_threads_weight_column(spark, tmp_path):
     a = aggregate(pix, wm_r).orderBy("poly_idx", "t").toPandas()
     b = aggregate(pix, wm_d).orderBy("poly_idx", "t").toPandas()
     assert np.allclose(a["value"], b["value"], atol=1e-12)
+
+
+def test_manifest_persists_refine_health_counters(spark, tmp_path):
+    """VERDICT r3 ask #8: the convexity-fallback counters ride the
+    manifest, so a regression that reroutes boundary pixels through the
+    per-pixel Python path is visible in every persisted artifact.  On a
+    lat/lon grid the projected quads are provably convex annular
+    trapezoids -> the fallback count MUST be 0 (boundary refinement
+    itself must have happened, the grid crosses polygon edges)."""
+    import json
+    import os
+
+    wm = pixel_overlaps(spark, GRID, _polys())
+    assert wm.n_boundary_refined > 0
+    assert wm.n_nonconvex_fallback == 0
+    path = str(tmp_path / "wm_health")
+    save_weightmap(wm, path)
+    with open(os.path.join(path, "_manifest.json")) as f:
+        man = json.load(f)
+    assert man["refine_stats"]["n_nonconvex_fallback"] == 0
+    assert man["refine_stats"]["n_boundary_refined"] == wm.n_boundary_refined
+    wm2 = read_wm(spark, path)
+    assert wm2.n_nonconvex_fallback == 0
+    assert wm2.n_boundary_refined == wm.n_boundary_refined

@@ -82,6 +82,14 @@ def save_weightmap(wm, path: str, overwrite: bool = False) -> None:
                                                     "rel_sum": float(r.rel_sum)}
                              for r in stats.itertuples()},
             },
+            # build-health counters (VERDICT r3 ask #8): persisted so a
+            # regression in projected-quad convexity — which reroutes
+            # boundary pixels through per-pixel Python — can't land
+            # silently; lat/lon grids must record 0 fallbacks
+            "refine_stats": {
+                "n_boundary_refined": int(wm.n_boundary_refined),
+                "n_nonconvex_fallback": int(wm.n_nonconvex_fallback),
+            },
         }
         tmp = os.path.join(path, "_manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -110,9 +118,12 @@ def read_wm(spark: SparkSession, path: str):
     if n != man["lineage"]["total_rows"]:
         raise ValueError(f"weightmap at {path} is corrupt: {n} rows vs "
                          f"{man['lineage']['total_rows']} in manifest")
+    rs = man.get("refine_stats", {})
     return WeightMap(overlaps=overlaps, polys=polys,
                      grid=_grid_from_dict(man["grid"]), epsg=man["epsg"],
-                     has_weights=man["has_weights"], n_rows=n)
+                     has_weights=man["has_weights"], n_rows=n,
+                     n_boundary_refined=int(rs.get("n_boundary_refined", 0)),
+                     n_nonconvex_fallback=int(rs.get("n_nonconvex_fallback", 0)))
 
 
 def read_wm_xagg(spark: SparkSession, path: str):

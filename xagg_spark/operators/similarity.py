@@ -233,6 +233,74 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
                 .drop("_best", "_rowid"))
 
 
+def train_ivf_centroids(corpus: DataFrame, k: int, n_iters: int = 5,
+                        c_id: str = "vec_id", c_vec: str = "embedding",
+                        round_digits: int = 6, sample_one_in: int = 1,
+                        _fp_bits: int = 24) -> DataFrame:
+    """Deterministic sampled k-means for the IVF coarse quantizer — ends
+    the "first C vectors" crutch (VERDICT r3 ask #6) without introducing
+    nondeterminism:
+
+    - seeds: the k corpus vectors with the smallest (xxhash64(id), id) —
+      a data-derived pseudo-random spread over the corpus, identical at
+      any parallelism (no RNG state);
+    - E-step: ivf_assign (cosine, deterministic ties);
+    - M-step in FIXED POINT: each component is quantized to
+      round(v * 2^_fp_bits) as a LONG and summed as integers.  Integer
+      addition is exact and order-independent, so the learned centroids —
+      and therefore every downstream assignment — are bit-identical at
+      any partitioning, unlike a float sum whose partial-aggregation
+      order varies with parallelism.  The quantization error (2^-24 per
+      component) is far below round_digits resolution.
+    - empty cells keep their previous centroid (deterministic).
+
+    sample_one_in > 1 trains on the deterministic hash-subsample
+    pmod(xxhash64(id), sample_one_in) == 0 — the 100 TB path, where the
+    M-step's posexplode (rows x dim) must not see the full corpus; the
+    final assignment of the FULL corpus still uses ivf_assign as usual.
+
+    Returns a DataFrame (cent_id, cent_vec), cent_id 0..k-1 in seed-hash
+    order.
+    """
+    spark = corpus.sparkSession
+    base = corpus.select(c_id, c_vec)
+    if sample_one_in > 1:
+        base = base.filter(
+            F.pmod(F.xxhash64(F.col(c_id)), F.lit(sample_one_in)) == 0)
+    seeds = (base.withColumn("_h", F.xxhash64(F.col(c_id)))
+                 .orderBy("_h", c_id).limit(k)
+                 .select(c_vec).collect())
+    if len(seeds) < k:
+        raise ValueError(f"train_ivf_centroids: k={k} exceeds the "
+                         f"{len(seeds)} (sampled) corpus vectors")
+    cents = [[float(v) for v in r[0]] for r in seeds]
+
+    scale = float(1 << _fp_bits)
+    qcol = F.transform(
+        F.col(c_vec),
+        lambda v: F.round(v.cast("double") * F.lit(scale)).cast("long"))
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            [(i, cents[i]) for i in range(k)], schema="cent_id long, cent_vec array<double>")
+        assigned = ivf_assign(base, cdf, id_col=c_id, vec_col=c_vec,
+                              round_digits=round_digits)
+        sums = (assigned.select("cell", F.posexplode(qcol).alias("pos", "qv"))
+                        .groupBy("cell", "pos")
+                        .agg(F.sum("qv").alias("s"),
+                             F.count(F.lit(1)).alias("n"))
+                        .collect())                  # <= k x dim rows
+        by_cell: dict = {}
+        for r in sums:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = \
+                (int(r["s"]), int(r["n"]))
+        for cid, comp in by_cell.items():
+            cents[cid] = [comp[p][0] / (comp[p][1] * scale)
+                          for p in range(len(comp))]
+    return spark.createDataFrame(
+        [(i, cents[i]) for i in range(k)],
+        schema="cent_id long, cent_vec array<double>")
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
              k: int = 10, nprobe: int = 4,
              q_id: str = "q_id", q_vec: str = "q_vec",
