@@ -398,10 +398,14 @@ def run():
     imgs = _ensure_images(spark, big, tag="_big")
     from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
     _warmup(spark)
-    t, n = _geo_job(spark, big, polys, tag="_big")
-    queries["geo4x_decode"] = round(t["decode"], 2)
-    queries["geo4x_weightmap"] = round(t["weightmap"], 2)
-    queries["geo4x_aggregate"] = round(t["aggregate"], 2)
+    geo4x_runs = []
+    for _ in range(REPS):
+        t, _n4 = _geo_job(spark, big, polys, tag="_big")
+        geo4x_runs.append((t, _load1m()))
+    for stage in ("decode", "weightmap", "aggregate"):
+        name = f"geo4x_{stage}"
+        runs[name] = [[round(tt[stage], 2), ld] for tt, ld in geo4x_runs]
+        _record(name, [tt[stage] for tt, _ in geo4x_runs])
     # the write-time scale path: bucket fact + overlaps on pix_idx once,
     # then every aggregate joins exchange-free (measured 12s vs 22-152s
     # for the shuffle join at this size)
@@ -409,18 +413,28 @@ def run():
     from xagg_spark.io.tables import read_copartitioned, save_copartitioned
     wm_c = pixel_overlaps(spark, big, _bench_polys())
     pix_c = tiles_to_pixels(imgs, big)
-    for tbl in ("bench4x_fact", "bench4x_overlaps"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        _sh.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
-    t0 = time.time()
-    save_copartitioned(pix_c, wm_c, "bench4x", n_buckets=64)
-    queries["geo4x_copart_write"] = round(time.time() - t0, 2)
+    ts_w = []
+    for _ in range(REPS):
+        for tbl in ("bench4x_fact", "bench4x_overlaps"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            _sh.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+        t0 = time.time()
+        save_copartitioned(pix_c, wm_c, "bench4x", n_buckets=64)
+        ts_w.append(time.time() - t0)
+        runs.setdefault("geo4x_copart_write", []).append(
+            [round(ts_w[-1], 2), _load1m()])
+    _record("geo4x_copart_write", ts_w)
     wm_c.unpersist()
     fact_c, wm_b = read_copartitioned(spark, "bench4x", polys, big, wm_c.epsg)
-    t0 = time.time()
-    aggregate(fact_c, wm_b, dims=("var", "t"),
-              broadcast_overlaps=False).count()
-    queries["geo4x_agg_copart"] = round(time.time() - t0, 2)
+    ts_a = []
+    for _ in range(REPS):
+        t0 = time.time()
+        aggregate(fact_c, wm_b, dims=("var", "t"),
+                  broadcast_overlaps=False).count()
+        ts_a.append(time.time() - t0)
+        runs.setdefault("geo4x_agg_copart", []).append(
+            [round(ts_a[-1], 2), _load1m()])
+    _record("geo4x_agg_copart", ts_a)
 
     # resume-path validation AT 4x: kill the bucketed build after 5/12
     # buckets, resume, and verify the stitched weightmap is row- and

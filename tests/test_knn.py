@@ -129,3 +129,20 @@ def test_knn_plan_is_cell_hash_join_not_nested_loop(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan and "cell_id" in plan
+
+
+def test_knn_cea_near_antimeridian_keeps_cut_plane_semantics(spark):
+    """CEA (EPSG:6933) is a cylinder CUT at +-180: x is linear in the given
+    lon, so two pixels across the cut are genuinely far apart in-plane.
+    The r4 wrap fix applies ONLY to the polar aspects — this pins that a
+    CEA center near +-180 still ranks by the cut-plane metric (the brute
+    force uses the same forward transform, so it agrees by construction,
+    and the expanding search must still terminate with complete results)."""
+    grid = GridSpec(lat_edge=-10.0, lon_edge=-180.0, dlat=1.0, dlon=5.0,
+                    nlat=20, nlon=72, tile_h=20, tile_w=72)
+    centers = pd.DataFrame({
+        "q_id": np.arange(2, dtype=np.int64),
+        "c_lon": [177.75, -178.5],
+        "c_lat": [2.125, -3.0625],
+    })
+    _run(spark, grid, centers, k=6, expect_epsg=_ell.EPSG_GLOBAL)
