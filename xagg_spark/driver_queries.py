@@ -1324,6 +1324,134 @@ def q_aggregate_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("value", 6).alias("value"))
 
 
+AMGRID = GridSpec(lat_edge=58.0, lon_edge=160.0, dlat=1.0, dlon=1.0,
+                  nlat=12, nlon=40, tile_h=12, tile_w=40)
+# mixed representations on purpose: raw lons beyond 180 (the grid's
+# native frame) and canonical negatives — LAEA enters lon only through
+# sin/cos, so both sides agree without canonicalization
+AM_CLON = [178.25, -176.5, 195.125, 169.0]
+AM_CLAT = [61.125, 65.0625, 59.5, 68.25]
+
+
+def q_knn_tiles_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 across the antimeridian (the ADVICE r3 class, now oracle-gated):
+    a north-LAEA grid spanning lon 160..200 with centers on BOTH sides of
+    +-180 (one given as a canonical negative).  The LAEA plane has no cut
+    at +-180, so the wrapped lon predicate must find neighbors across it;
+    the oracle's brute-force LAEA distance does so inherently (sin/cos)."""
+    from .operators.knn import knn_pixels
+    from .operators.overlaps import pixel_geometry
+    pixels = pixel_geometry(spark, AMGRID).select("pix_idx", "lat", "lon")
+    centers = pd.DataFrame({
+        "q_id": np.arange(len(AM_CLON), dtype=np.int64),
+        "c_lon": AM_CLON, "c_lat": AM_CLAT,
+    })
+    out = knn_pixels(spark, pixels, centers, k=4)
+    return out.select(F.col("q_id").cast("long").alias("q_id"),
+                      F.col("rank").cast("long").alias("rank"), "pix_idx")
+
+
+def _sql_knn_antimeridian() -> str:
+    # pix_idx follows the engine's CANONICAL grid (fix_ds parity: lons
+    # wrapped to [-180, 180) then sorted ascending) — the raw 160..200
+    # axis becomes [-179.5..-160.5] for ix 0..19, [160.5..179.5] for
+    # ix 20..39; the oracle replays that ordering explicitly
+    ctr = ", ".join(f"({i}, {lo}, {la})"
+                    for i, (lo, la) in enumerate(zip(AM_CLON, AM_CLAT)))
+    return f"""
+WITH pix AS (
+  SELECT CAST(range AS BIGINT) AS pix_idx,
+         {AMGRID.lat_edge} + ((range // {AMGRID.nlon}) + 0.5) * {AMGRID.dlat} AS lat,
+         CASE WHEN (range % {AMGRID.nlon}) < 20
+              THEN -179.5 + (range % {AMGRID.nlon}) * {AMGRID.dlon}
+              ELSE 140.5 + (range % {AMGRID.nlon}) * {AMGRID.dlon} END AS lon
+  FROM range({AMGRID.nlat * AMGRID.nlon})
+),
+ctr AS (SELECT CAST(c0 AS BIGINT) AS q_id, c1 AS c_lon, c2 AS c_lat
+        FROM (VALUES {ctr}) AS t(c0, c1, c2)),
+d AS (
+  SELECT c.q_id, x.pix_idx, {_laea_dist2_sql()} AS dist2
+  FROM pix x CROSS JOIN ctr c
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, pix_idx FROM (
+  SELECT q_id, pix_idx, row_number() OVER (PARTITION BY q_id ORDER BY dist2, pix_idx) AS rank
+  FROM d
+) WHERE rank <= 4
+"""
+
+
+def q_aggregate_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 over a weightmap built by the RESUMABLE bucketed path (S4):
+    proves kill/resume-grade wave commits + global stitch normalization
+    are VALUE-identical to the straight build through the full aggregate
+    — same analytic oracle as aggregate_weighted_mean."""
+    import os
+    import tempfile
+
+    from .io.weightmap_io import resume_pixel_overlaps
+    from .operators import aggregate, tiles_to_pixels
+
+    with tempfile.TemporaryDirectory() as td:
+        wm, _ = resume_pixel_overlaps(spark, QGRID, _qpolys(),
+                                      os.path.join(td, "ck"), n_buckets=5)
+        imgs = generate_spark(spark, QGRID, variables=("test",), ntime=3,
+                              fmt="raw32")
+        pix = tiles_to_pixels(imgs, QGRID)
+        out = aggregate(pix, wm, dims=("var", "t"))
+        out = out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                         F.round("value", 6).alias("value"))
+        # materialize before the checkpoint dir is deleted (36 rows);
+        # the returned frame must not depend on the tempdir's parquet
+        out = out.localCheckpoint(eager=True)
+        wm.unpersist()
+        return out
+
+
+# decode_bbox_stats: pixel bbox chosen so the tile prefilter keeps 3 of
+# QGRID's 8 tiles (tx 0..2 at ty 0) — the oracle replays the prefilter's
+# tile-intersection rule AND the generator formula independently
+BB = (-12.3, -9.5, 6.0, -0.2)       # lon0, lat0, lon1, lat1
+
+
+def q_decode_bbox_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 through the decode path (the 100 TB prune-before-decode shape):
+    tiles are prefiltered by bbox BEFORE the decode UDF; stats over the
+    surviving pixels are verified against the generator formula applied
+    to exactly the pixels of the tiles the bbox rule keeps."""
+    from .io.tables import prefilter_images_bbox
+    from .operators import tiles_to_pixels
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=1, fmt="png")
+    sub = prefilter_images_bbox(imgs, QGRID, BB[0], BB[1], BB[2], BB[3])
+    pix = tiles_to_pixels(sub, QGRID)
+    return (pix.groupBy("var", "t")
+               .agg(F.count(F.lit(1)).alias("n_pixels"),
+                    F.round(F.avg("value"), 2).alias("mean_value"),
+                    F.round(F.min("value"), 2).alias("min_value"),
+                    F.round(F.max("value"), 2).alias("max_value")))
+
+
+def _sql_decode_bbox_stats() -> str:
+    th, tw = QGRID.tile_h, QGRID.tile_w
+    tile_dlat, tile_dlon = th * QGRID.dlat, tw * QGRID.dlon
+    return f"""
+SELECT 'test' AS var, CAST(0 AS BIGINT) AS t,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       round(avg(v), 2) AS mean_value,
+       round(min(v), 2) AS min_value,
+       round(max(v), 2) AS max_value
+FROM (
+  SELECT {value_sql(f'(range % {QGRID.nlon})', f'(range // {QGRID.nlon})', '0')} AS v,
+         ((range // {QGRID.nlon}) // {th}) AS ty,
+         ((range % {QGRID.nlon}) // {tw}) AS tx
+  FROM range({QGRID.nlat * QGRID.nlon})
+)
+WHERE ({QGRID.lat_edge} + ty * {tile_dlat}) + {tile_dlat} > {BB[1]}
+  AND ({QGRID.lat_edge} + ty * {tile_dlat}) < {BB[3]}
+  AND ({QGRID.lon_edge} + tx * {tile_dlon}) + {tile_dlon} > {BB[0]}
+  AND ({QGRID.lon_edge} + tx * {tile_dlon}) < {BB[2]}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1339,8 +1467,11 @@ def all_queries():
         "aggregate_with_weights": q_aggregate_with_weights,
         "aggregate_copartitioned": q_aggregate_copartitioned,
         "aggregate_4d": q_aggregate_4d,
+        "aggregate_resumed": q_aggregate_resumed,
         "knn_tiles": q_knn_tiles,
         "knn_tiles_polar": q_knn_tiles_polar,
+        "knn_tiles_antimeridian": q_knn_tiles_antimeridian,
+        "decode_bbox_stats": q_decode_bbox_stats,
         "regrid_conservative": q_regrid_conservative,
         "regrid_bilinear": q_regrid_bilinear,
         "bbox_subset": q_bbox_subset,
@@ -1382,8 +1513,11 @@ def all_oracle_sql():
         "aggregate_with_weights": SQL_AGG_WEIGHTS,
         "aggregate_copartitioned": SQL_AGG_MEAN,
         "aggregate_4d": SQL_AGG_4D,
+        "aggregate_resumed": SQL_AGG_MEAN,
         "knn_tiles": SQL_KNN,
         "knn_tiles_polar": SQL_KNN_POLAR,
+        "knn_tiles_antimeridian": _sql_knn_antimeridian(),
+        "decode_bbox_stats": _sql_decode_bbox_stats(),
         "regrid_conservative": SQL_REGRID_CONSERVATIVE,
         "regrid_bilinear": _sql_regrid_bilinear(),
         "bbox_subset": SQL_BBOX,
