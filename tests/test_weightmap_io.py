@@ -139,3 +139,37 @@ def test_manifest_persists_refine_health_counters(spark, tmp_path):
     wm2 = read_wm(spark, path)
     assert wm2.n_nonconvex_fallback == 0
     assert wm2.n_boundary_refined == wm.n_boundary_refined
+
+
+def test_resume_empty_waves_and_kill_budget_semantics(spark, tmp_path):
+    """Review r4 fixes: (1) a wave whose buckets ALL have zero overlap rows
+    must commit empty markers (declared-schema read) instead of dying on
+    UNABLE_TO_INFER_SCHEMA; (2) _fail_after >= pending completes instead of
+    raising; (3) the stitched WeightMap carries REAL refine counters
+    accumulated at wave materialization (not vacuous zeros)."""
+    tiny = PolygonSet([rect_ring(-1.3, -1.2, -0.9, -0.8)],
+                      pd.DataFrame({"name": ["tiny"]}))
+    ck = str(tmp_path / "ck_empty")
+    # 16 buckets over a 64-pixel grid with a ~1-pixel polygon: most waves
+    # are entirely empty
+    wm_r, computed = resume_pixel_overlaps(spark, GRID, tiny, ck,
+                                           n_buckets=16, wave_size=4)
+    assert computed == 16
+    want = pixel_overlaps(spark, GRID, tiny)
+    got = wm_r.overlaps.orderBy("poly_idx", "pix_idx").toPandas()
+    ref = want.overlaps.orderBy("poly_idx", "pix_idx").toPandas()
+    assert len(got) == len(ref) > 0
+    assert np.allclose(got.rel_area, ref.rel_area, atol=1e-12)
+    # refine counters real, not zeros (the tiny polygon is all boundary)
+    assert wm_r.n_boundary_refined > 0
+    assert wm_r.n_nonconvex_fallback == 0
+
+    # kill budget >= remaining work: completes, no spurious RuntimeError
+    ck2 = str(tmp_path / "ck_budget")
+    with pytest.raises(RuntimeError):
+        resume_pixel_overlaps(spark, GRID, _polys(), ck2, n_buckets=4,
+                              _fail_after=3)
+    wm2, computed2 = resume_pixel_overlaps(spark, GRID, _polys(), ck2,
+                                           n_buckets=4, _fail_after=10)
+    assert computed2 == 1                    # only the pending bucket ran
+    assert wm2.n_rows == pixel_overlaps(spark, GRID, _polys()).n_rows

@@ -286,8 +286,11 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                        and os.path.exists(os.path.join(
                            checkpoint, f"bucket={b}", "_SUCCESS")))]
     if _fail_after is not None:
-        pending = pending[:_fail_after]      # the kill hook claims exactly
-        killed = True                        # this many buckets, then dies
+        # the kill hook claims at most this many buckets, then dies — but
+        # only if there actually was more work than the budget (a resume
+        # with fewer pending buckets than the kill threshold completes)
+        killed = _fail_after < len(pending)
+        pending = pending[:_fail_after]
     else:
         killed = False
     prep = _overlap_prep(spark, grid, polys) if pending else None
@@ -298,13 +301,15 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             json.dump(state, f)
         os.replace(tmp, state_path)
 
-    _schema_cols = {"poly_idx": pd.Series(dtype="int64"),
-                    "pix_idx": pd.Series(dtype="int64"),
-                    "lat": pd.Series(dtype="float64"),
-                    "lon": pd.Series(dtype="float64"),
-                    "area": pd.Series(dtype="float64")}
-    if weights_pdf is not None:
-        _schema_cols["weight"] = pd.Series(dtype="float64")
+    # explicit schemas throughout the empty-bucket paths: a wave whose
+    # buckets ALL had zero overlap rows writes no parquet files, and schema
+    # INFERENCE (read of an empty dir, createDataFrame of an empty frame)
+    # throws — with declared schemas, empties read/write as zero rows and
+    # the buckets commit empty markers
+    _bucket_ddl = ("poly_idx long, pix_idx long, lat double, lon double, "
+                   "area double"
+                   + (", weight double" if weights_pdf is not None else ""))
+    _wave_ddl = _bucket_ddl + ", bucket int"
 
     computed = 0
     for w0 in range(0, len(pending), max(wave_size, 1)):
@@ -321,11 +326,21 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         (wm_w.overlaps
              .withColumn("bucket", F.pmod(F.col("pix_idx"), F.lit(n_buckets)))
              .write.partitionBy("bucket").mode("overwrite").parquet(tmpdir))
+        # the write above is the wave's materialization — the refine
+        # accumulators are valid only NOW (lazy raw_areas path); carry
+        # their totals in the build state so the stitched WeightMap and
+        # every persisted manifest see real counters, not vacuous zeros
+        rs = state.setdefault("refine_stats",
+                              {"n_boundary_refined": 0,
+                               "n_nonconvex_fallback": 0})
+        rs["n_boundary_refined"] += int(wm_w._accs[0].value)
+        rs["n_nonconvex_fallback"] += int(wm_w._accs[1].value)
         # per-bucket lineage stats in ONE job over the written wave
         # (north_rule: "per-partition lineage: cell range, row counts,
         # overlap-weight checksums") — read back from the committed bytes
         stats = {int(r["bucket"]): r for r in
-                 spark.read.parquet(tmpdir).groupBy("bucket")
+                 spark.read.schema(_wave_ddl).parquet(tmpdir)
+                      .groupBy("bucket")
                       .agg(F.count(F.lit(1)).alias("n"),
                            F.sum("area").alias("area_sum")).collect()}
         for b in wave:
@@ -336,7 +351,7 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                 os.rename(src, part)
             else:
                 # bucket with no overlaps: write an empty marker partition
-                spark.createDataFrame(pd.DataFrame(_schema_cols)) \
+                spark.createDataFrame([], schema=_bucket_ddl) \
                      .write.mode("overwrite").parquet(part)
             # commit marker LAST: rename/write without it is not committed
             open(os.path.join(part, "_SUCCESS"), "w").close()
@@ -375,6 +390,15 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                    .withColumn("rel_area", F.col("area") / F.col("_tot"))
                    .drop("area", "_tot"))
     epsg = polys.pick_epsg()
+    # build-health counters accumulated at wave materialization time
+    # (possibly across several kill/resume runs via the build state)
+    rs = state.get("refine_stats", {})
+    n_bnd = int(rs.get("n_boundary_refined", 0))
+    n_ncx = int(rs.get("n_nonconvex_fallback", 0))
+    from ..operators.overlaps import _warn_nonconvex_fallback
+    _warn_nonconvex_fallback(n_bnd, n_ncx)
     return WeightMap(overlaps=overlaps, polys=polys, grid=grid,
                      epsg=epsg, has_weights=weights_pdf is not None,
-                     n_rows=n_rows, _ckpt=dfs), computed
+                     n_rows=n_rows, _ckpt=dfs,
+                     n_boundary_refined=n_bnd,
+                     n_nonconvex_fallback=n_ncx), computed

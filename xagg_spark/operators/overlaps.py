@@ -380,6 +380,11 @@ class WeightMap:
     _ckpt: DataFrame | None = None  # the actually-checkpointed DF (overlaps
                                     # may be a cheap derived view over it);
                                     # unpersist() must free THESE blocks
+    _accs: tuple | None = None    # (boundary, nonconvex) accumulators on the
+                                  # LAZY raw_areas path: nothing has executed
+                                  # at construction time, so the caller must
+                                  # read .value AFTER materializing (the
+                                  # resumable build does, per wave)
 
     def agg_pandas(self) -> pd.DataFrame:
         """Reconstitute the xagg-shaped `wm.agg` frame (lists per polygon,
@@ -696,15 +701,20 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     if n_rows == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
+    # on the lazy raw_areas path NOTHING has executed yet, so the
+    # accumulators read 0 here — hand them to the caller (_accs) to read
+    # after materialization instead of recording vacuous zeros
     n_boundary, n_nonconvex = int(acc_boundary.value), int(acc_nonconvex.value)
-    _warn_nonconvex_fallback(n_boundary, n_nonconvex)
+    if not raw_areas:
+        _warn_nonconvex_fallback(n_boundary, n_nonconvex)
     if not silent:
         print("success!")
     return WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
                      has_weights=has_w, n_rows=n_rows,
                      n_boundary_refined=n_boundary,
                      n_nonconvex_fallback=n_nonconvex,
-                     _ckpt=ckpt if ckpt is not None else overlaps)
+                     _ckpt=ckpt if ckpt is not None else overlaps,
+                     _accs=(acc_boundary, acc_nonconvex) if raw_areas else None)
 
 
 # ---------------------------------------------------------------------------

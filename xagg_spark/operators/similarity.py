@@ -263,7 +263,14 @@ def train_ivf_centroids(corpus: DataFrame, k: int, n_iters: int = 5,
     order.
     """
     spark = corpus.sparkSession
-    base = corpus.select(c_id, c_vec)
+    # degenerate vectors (any NULL component) are excluded from TRAINING:
+    # a NULL component would poison the fixed-point sums (int(None) /
+    # null-skipping sum over all-rows count) and a seed centroid with a
+    # NULL element can never win an assignment anyway.  They still get
+    # ASSIGNED by ivf_assign afterwards (smallest cent_id, documented
+    # degenerate rule).
+    base = corpus.select(c_id, c_vec).filter(
+        ~F.exists(F.col(c_vec), lambda v: v.isNull()))
     if sample_one_in > 1:
         base = base.filter(
             F.pmod(F.xxhash64(F.col(c_id)), F.lit(sample_one_in)) == 0)
