@@ -146,3 +146,33 @@ def test_knn_cea_near_antimeridian_keeps_cut_plane_semantics(spark):
         "c_lat": [2.125, -3.0625],
     })
     _run(spark, grid, centers, k=6, expect_epsg=_ell.EPSG_GLOBAL)
+
+
+def test_cover_rows_matches_scalar_cover_bbox():
+    """The vectorized ragged ring-cover expansion must produce exactly the
+    per-center cell sets of geo.cells.cover_bbox (wrap, clamping, full-
+    circle dedup included) for a wide sweep of centers, radii, and
+    resolutions — pure numpy, no Spark."""
+    from xagg_spark.geo import cells as _c
+    from xagg_spark.operators.knn import _cover_rows
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(25):
+        res = int(rng.integers(0, 10))
+        n_c = int(rng.integers(1, 9))
+        radius = float(rng.choice([0.05, 0.7, 3.0, 20.0, 95.0, 181.0, 360.0]))
+        centers = pd.DataFrame({
+            "q_id": np.arange(n_c, dtype=np.int64),
+            "c_lon": rng.uniform(-200.0, 220.0, n_c),   # raw frames too
+            "c_lat": rng.uniform(-89.9, 89.9, n_c),
+        })
+        got = _cover_rows(centers, radius, res)
+        for r in centers.itertuples():
+            want = set(_c.cover_bbox(
+                float(r.c_lon) - radius, max(float(r.c_lat) - radius, -90.0),
+                float(r.c_lon) + radius, min(float(r.c_lat) + radius, 90.0),
+                res).tolist())
+            mine = set(got[got.q_id == r.q_id].cell_id.tolist())
+            assert mine == want, (trial, res, radius, r)
+        # no duplicate (q, cell) pairs (a dup would double-rank a pixel)
+        assert not got.duplicated(["q_id", "cell_id"]).any()
