@@ -90,3 +90,51 @@ def test_copartitioned_join_is_exchange_free(spark, tmp_path):
     np.testing.assert_allclose(a["value"], b["value"], rtol=0, atol=1e-12)
     spark.sql("DROP TABLE IF EXISTS copart_t_fact")
     spark.sql("DROP TABLE IF EXISTS copart_t_overlaps")
+
+
+def test_fact_overlaps_join_strategy_by_shape(spark):
+    """r4 review fix: the SHUFFLE_HASH hint must apply ONLY where the join
+    genuinely shuffles.  On bucketed co-partitioned tables Catalyst WOULD
+    honor the hint (flipping the exchange-free sorted-bucket merge to a
+    per-task hash build), so aggregate's join helper must omit it there;
+    on plain inputs it must produce a ShuffledHashJoin."""
+    import shutil
+
+    import pandas as pd
+
+    from xagg_spark.io.tables import read_copartitioned, save_copartitioned
+    from xagg_spark.operators.aggregate import _fact_overlaps_join
+
+    for t in ("jstrat_fact", "jstrat_overlaps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    grid = GridSpec(lat_edge=-4.0, lon_edge=-4.0, dlat=0.5, dlon=0.5,
+                    nlat=16, nlon=16, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(-2.3, -2.1, 2.2, 2.4)],
+                       pd.DataFrame({"name": ["x"]}))
+    wm = pixel_overlaps(spark, grid, polys)
+    pix = tiles_to_pixels(generate_spark(spark, grid, ntime=2, fmt="raw32"),
+                          grid)
+    save_copartitioned(pix, wm, "jstrat", n_buckets=4)
+    fact, wm2 = read_copartitioned(spark, "jstrat", polys, grid, wm.epsg)
+    assert wm2.bucketed
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ov = wm2.overlaps.select("poly_idx", "pix_idx", "rel_area")
+        jb = _fact_overlaps_join(fact, ov, broadcast_overlaps=False,
+                                 bucketed=True)
+        pb = jb._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in pb and "ShuffledHashJoin" not in pb
+        assert "Exchange hashpartitioning(pix_idx" not in pb
+
+        ov_plain = wm.overlaps.select("poly_idx", "pix_idx", "rel_area")
+        js = _fact_overlaps_join(pix, ov_plain, broadcast_overlaps=False,
+                                 bucketed=False)
+        ps = js._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in ps
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    for t in ("jstrat_fact", "jstrat_overlaps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

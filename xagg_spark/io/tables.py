@@ -83,7 +83,7 @@ def read_copartitioned(spark: SparkSession, name: str, polys, grid, epsg):
     overlaps = spark.table(f"{name}_overlaps")
     wm = WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
                    has_weights="weight" in overlaps.columns,
-                   n_rows=None)
+                   n_rows=None, bucketed=True)
     return fact, wm
 
 

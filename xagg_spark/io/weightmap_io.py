@@ -329,12 +329,16 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         # the write above is the wave's materialization — the refine
         # accumulators are valid only NOW (lazy raw_areas path); carry
         # their totals in the build state so the stitched WeightMap and
-        # every persisted manifest see real counters, not vacuous zeros
-        rs = state.setdefault("refine_stats",
-                              {"n_boundary_refined": 0,
-                               "n_nonconvex_fallback": 0})
-        rs["n_boundary_refined"] += int(wm_w._accs[0].value)
-        rs["n_nonconvex_fallback"] += int(wm_w._accs[1].value)
+        # every persisted manifest see real counters, not vacuous zeros.
+        # The increment is PERSISTED only with the wave's LAST bucket
+        # commit (below): persisting it earlier would double-count when a
+        # mid-wave kill forces the wave's tail buckets to recompute.
+        # Under a kill the counters are therefore a LOWER bound (the
+        # killed wave's share is dropped); like all Spark accumulators
+        # updated in a transformation they can also overcount under task
+        # retries/speculation — diagnostic, not lineage.
+        wave_nb = int(wm_w._accs[0].value)
+        wave_nc = int(wm_w._accs[1].value)
         # per-bucket lineage stats in ONE job over the written wave
         # (north_rule: "per-partition lineage: cell range, row counts,
         # overlap-weight checksums") — read back from the committed bytes
@@ -360,6 +364,12 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             state.setdefault("lineage", {})[str(b)] = {
                 "rows": int(st["n"]) if st else 0,
                 "area_checksum": float(st["area_sum"]) if st else 0.0}
+            if b == wave[-1]:     # wave complete: now safe to persist its
+                rs = state.setdefault(     # refine increment exactly once
+                    "refine_stats", {"n_boundary_refined": 0,
+                                     "n_nonconvex_fallback": 0})
+                rs["n_boundary_refined"] += wave_nb
+                rs["n_nonconvex_fallback"] += wave_nc
             computed += 1
             _commit_state()
         shutil.rmtree(tmpdir, ignore_errors=True)

@@ -54,6 +54,33 @@ def _finite(c):
 BROADCAST_OVERLAPS_MAX_ROWS = 5_000_000
 
 
+def _fact_overlaps_join(pix_values: DataFrame, ov: DataFrame,
+                        broadcast_overlaps: bool, bucketed: bool) -> DataFrame:
+    """The engine's one big join, strategy by input shape:
+
+    - broadcast: the (small) overlap side ships to every task; the fact
+      table never shuffles;
+    - bucketed co-partitioned tables (read_copartitioned sets
+      WeightMap.bucketed): NO hint — the sorted buckets merge-stream
+      exchange-free, which is the design.  A SHUFFLE_HASH hint here WOULD
+      be honored by Catalyst (verified: it flips the exchange-free
+      sorted-bucket SortMergeJoin to an exchange-free ShuffledHashJoin),
+      hash-building an entire overlap bucket (n_rows/n_buckets rows) in
+      memory per task — exactly the pressure bucketing exists to avoid —
+      and with n_rows=None it would also pin the strategy against AQE's
+      broadcast conversion;
+    - otherwise the join genuinely shuffles: SHUFFLE_HASH with the
+      overlap side as build skips both SortMergeJoin sort passes
+      (measured at the 4x bench, 23M x 15M rows: aggregate min-of-3
+      20.1s -> 6.4s).  SHJ spills since Spark 3.1, and AQE skew
+      splitting stays active on the exchange."""
+    if broadcast_overlaps:
+        return pix_values.join(F.broadcast(ov), "pix_idx")
+    if bucketed:
+        return pix_values.join(ov, "pix_idx")
+    return pix_values.join(ov.hint("SHUFFLE_HASH"), "pix_idx")
+
+
 def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
               value_col: str = "value",
               broadcast_overlaps: bool | None = None,
@@ -123,20 +150,8 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
         n_rows = getattr(wm, "n_rows", None)
         broadcast_overlaps = (n_rows is not None
                               and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
-    if broadcast_overlaps:
-        joined = pix_values.join(F.broadcast(ov), "pix_idx")
-    else:
-        # above-threshold weightmaps: SHUFFLE_HASH hint with the overlap
-        # side as build — skips both sort passes of the default
-        # SortMergeJoin (measured at the 4x bench: 29s vs 36-47s on the
-        # same inputs, the build side is ~240k rows/partition at 64
-        # shuffle partitions).  When both tables are bucketed on pix_idx
-        # (save_copartitioned), Catalyst still plans the exchange-free
-        # join — the hint only selects the algorithm, it cannot re-add
-        # an exchange.  Spark 3.1+ SHJ spills, so a skewed build
-        # partition degrades instead of OOMing; AQE skew splitting stays
-        # active on the shuffle.
-        joined = pix_values.join(ov.hint("SHUFFLE_HASH"), "pix_idx")
+    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
+                                 getattr(wm, "bucketed", False))
 
     if impl == "dot_product":
         # per-(pixel, dim-coordinate) weight masking: numerator AND

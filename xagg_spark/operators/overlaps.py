@@ -374,6 +374,12 @@ class WeightMap:
     n_rows: int | None = None     # overlap row count, carried so aggregate()
                                   # never re-executes the overlap DAG just to
                                   # pick a join strategy
+    bucketed: bool = False        # True when overlaps comes from a bucketed
+                                  # co-partitioned table (read_copartitioned):
+                                  # aggregate() must NOT hint SHUFFLE_HASH
+                                  # there — the sorted buckets merge-stream,
+                                  # and the hint would flip them to a
+                                  # hash-build of a whole bucket per task
     n_boundary_refined: int = 0   # pixels refined through the batched clip
     n_nonconvex_fallback: int = 0  # of those, non-convex-quad per-pixel
                                    # fallbacks (>1% warns at build time)

@@ -263,14 +263,16 @@ def train_ivf_centroids(corpus: DataFrame, k: int, n_iters: int = 5,
     order.
     """
     spark = corpus.sparkSession
-    # degenerate vectors (any NULL component) are excluded from TRAINING:
-    # a NULL component would poison the fixed-point sums (int(None) /
-    # null-skipping sum over all-rows count) and a seed centroid with a
-    # NULL element can never win an assignment anyway.  They still get
-    # ASSIGNED by ivf_assign afterwards (smallest cent_id, documented
-    # degenerate rule).
+    # degenerate vectors (any NULL **or NaN** component) are excluded from
+    # TRAINING: a NULL would poison the fixed-point sums (int(None) /
+    # null-skipping sum over all-rows count), and a NaN ABORTS the M-step
+    # under ANSI mode (round(NaN).cast(long) -> CAST_OVERFLOW); a seed
+    # centroid with such an element can never win an assignment anyway.
+    # They still get ASSIGNED by ivf_assign afterwards (smallest cent_id,
+    # documented degenerate rule).
     base = corpus.select(c_id, c_vec).filter(
-        ~F.exists(F.col(c_vec), lambda v: v.isNull()))
+        ~F.exists(F.col(c_vec),
+                  lambda v: v.isNull() | F.isnan(v.cast("double"))))
     if sample_one_in > 1:
         base = base.filter(
             F.pmod(F.xxhash64(F.col(c_id)), F.lit(sample_one_in)) == 0)
