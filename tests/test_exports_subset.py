@@ -138,3 +138,19 @@ def test_partial_nan_warning_names_var_and_dims(spark):
     assert len(msgs) == 1
     assert "variable tas" in msgs[0]
     assert "dimension(s) t " in msgs[0] and "plev" not in msgs[0]
+
+
+def test_partial_nan_default_var_col_is_sentinel(spark):
+    """ADVICE r4: a frame WITHOUT a 'var' column gets the cross-variable
+    diagnosis under the DEFAULT var_col (no raise); an EXPLICITLY passed
+    missing var_col still raises."""
+    pdf = pd.DataFrame({
+        "t": [0, 1, 0, 1],
+        "pix_idx": [0, 0, 1, 1],
+        "value": [np.nan, 1.0, 2.0, 3.0],     # pixel 0 partial along t
+    })
+    df = spark.createDataFrame(pdf)
+    with pytest.warns(SomeNanWarning):
+        assert warn_if_partial_nan(df)        # default: auto -> None here
+    with pytest.raises(ValueError, match="var_col 'tas' not in the input"):
+        warn_if_partial_nan(df, var_col="tas")

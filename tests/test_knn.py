@@ -176,3 +176,20 @@ def test_cover_rows_matches_scalar_cover_bbox():
             assert mine == want, (trial, res, radius, r)
         # no duplicate (q, cell) pairs (a dup would double-rank a pixel)
         assert not got.duplicated(["q_id", "cell_id"]).any()
+
+
+def test_knn_warns_on_under_k_and_zero_row_queries(spark):
+    """ADVICE r4: a query whose rings hold no pixel by max_radius_deg is
+    OMITTED from the output — that must be loud.  q0 sits on the grid
+    (full k), q1 is far away with a max radius too small to reach any
+    pixel (zero rows, omitted); the warning names exactly q1."""
+    grid = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=1.0, dlon=1.0,
+                    nlat=4, nlon=4, tile_h=4, tile_w=4)
+    centers = pd.DataFrame({"q_id": np.array([0, 1], dtype=np.int64),
+                            "c_lon": [1.6, 120.0], "c_lat": [1.4, 1.0]})
+    pixels = pixel_geometry(spark, grid).select("pix_idx", "lat", "lon")
+    with pytest.warns(UserWarning, match=r"fewer than k=3 .*q_id\(s\) \[1\]"):
+        got = knn_pixels(spark, pixels, centers, k=3,
+                         radius_deg=2.0, max_radius_deg=16.0).toPandas()
+    assert set(got["q_id"]) == {0}                # q1 omitted, documented
+    assert len(got[got.q_id == 0]) == 3

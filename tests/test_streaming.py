@@ -249,3 +249,34 @@ def test_bloom_sizing_helpers_and_overfill_warning():
     assert batch(0, max(cap // 2, 1)) == []
     # drive well past capacity: warning fires
     assert len(batch(10_000, 10_000 + 6 * cap)) == 1
+
+
+def test_stream_dedup_mode_marker_fails_fast_on_switch(tmp_path):
+    """VERDICT r4 ask #6: a checkpoint written in one state mode restarted
+    in the other must die with a TARGETED error naming both modes, before
+    Spark's raw state-schema exception — and same-mode restarts pass."""
+    from xagg_spark.streaming.dedup import _check_state_mode_marker
+
+    ck = str(tmp_path / "mode_ck")
+    _check_state_mode_marker(ck, "exact")          # first start: writes marker
+    _check_state_mode_marker(ck, "exact")          # same-mode restart: ok
+    with pytest.raises(ValueError, match=r"state='exact'.*state='bloom'"):
+        _check_state_mode_marker(ck, "bloom")
+    # remote checkpoints (no local marker possible): no-op, no crash
+    _check_state_mode_marker("hdfs://nn/ck", "bloom")
+
+
+def test_stream_dedup_entrypoint_checks_marker_before_starting(spark, tmp_path):
+    """The facade must refuse a mode-switched restart WITHOUT launching a
+    query (no partial sink output, no state-schema stack trace)."""
+    from xagg_spark.streaming.dedup import stream_dedup_exact
+
+    src = tmp_path / "mk_in"
+    out = str(tmp_path / "mk_out")
+    ck = str(tmp_path / "mk_ck")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [1], "text": ["a"]}).to_parquet(src / "w.parquet")
+    q = stream_dedup_exact(spark, str(src), out, ck, n_groups=2)
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="cannot resume across a mode switch"):
+        stream_dedup_exact(spark, str(src), out, ck, n_groups=2, state="bloom")

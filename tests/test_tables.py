@@ -138,3 +138,67 @@ def test_fact_overlaps_join_strategy_by_shape(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
     for t in ("jstrat_fact", "jstrat_overlaps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_copartitioned_read_verifies_integrity(spark, tmp_path):
+    """VERDICT r4 ask #8: the exchange-free join trusts the catalog's
+    bucket layout, so read_copartitioned must verify the pair against the
+    save-time manifest — a foreign-tampered table fails HERE with a clear
+    error instead of silently mis-joining."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    import pandas as pd
+    import pytest
+
+    from xagg_spark.io.tables import (_copart_manifest_path,
+                                      read_copartitioned,
+                                      save_copartitioned)
+
+    for t in ("integ_fact", "integ_overlaps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    grid = GridSpec(lat_edge=-4.0, lon_edge=-4.0, dlat=0.5, dlon=0.5,
+                    nlat=16, nlon=16, tile_h=8, tile_w=8)
+    polys = PolygonSet([rect_ring(-2.3, -2.1, 2.2, 2.4)],
+                       pd.DataFrame({"name": ["x"]}))
+    wm = pixel_overlaps(spark, grid, polys)
+    pix = tiles_to_pixels(generate_spark(spark, grid, ntime=1, fmt="raw32"),
+                          grid)
+    save_copartitioned(pix, wm, "integ", n_buckets=4)
+
+    # pristine pair: verification passes
+    read_copartitioned(spark, "integ", polys, grid, wm.epsg)
+
+    # corrupt fixture 1: a data file vanishes (hand-copied / partial sync)
+    files = sorted(glob.glob("spark-warehouse/integ_overlaps/part-*"))
+    assert files
+    moved = str(tmp_path / os.path.basename(files[0]))
+    os.rename(files[0], moved)
+    spark.catalog.refreshTable("integ_overlaps")
+    try:
+        with pytest.raises(ValueError, match="integ_overlaps.*corrupt.*rows"):
+            read_copartitioned(spark, "integ", polys, grid, wm.epsg)
+    finally:
+        os.rename(moved, files[0])
+        spark.catalog.refreshTable("integ_overlaps")
+
+    # corrupt fixture 2: manifest bucket count disagrees with the catalog
+    mpath = _copart_manifest_path(spark, "integ")
+    with open(mpath) as f:
+        man = _json.load(f)
+    man_bad = dict(man, n_buckets=8)
+    with open(mpath, "w") as f:
+        _json.dump(man_bad, f)
+    with pytest.raises(ValueError, match="catalog says 4 buckets"):
+        read_copartitioned(spark, "integ", polys, grid, wm.epsg)
+    with open(mpath, "w") as f:
+        _json.dump(man, f)
+
+    # opt-out for already-validated pipelines
+    read_copartitioned(spark, "integ", polys, grid, wm.epsg, verify=False)
+
+    for t in ("integ_fact", "integ_overlaps"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

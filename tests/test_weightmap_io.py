@@ -173,3 +173,24 @@ def test_resume_empty_waves_and_kill_budget_semantics(spark, tmp_path):
                                            n_buckets=4, _fail_after=10)
     assert computed2 == 1                    # only the pending bucket ran
     assert wm2.n_rows == pixel_overlaps(spark, GRID, _polys()).n_rows
+
+
+def test_stale_wave_tmp_cleaned_on_zero_pending_resume(spark, tmp_path):
+    """ADVICE r4: a crash between the final wave's bucket commits and its
+    tmp cleanup leaves _wave.tmp behind; a resume with ZERO pending buckets
+    never enters the wave loop, so the stitch path must clean it
+    unconditionally (stale wave data can be GBs at scale)."""
+    import os
+
+    ck = str(tmp_path / "ck_stale")
+    resume_pixel_overlaps(spark, GRID, _polys(), ck, n_buckets=4)
+    stale = os.path.join(ck, "_wave.tmp")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("leftover")
+    wm, computed = resume_pixel_overlaps(spark, GRID, _polys(), ck,
+                                         n_buckets=4)
+    assert computed == 0                         # nothing recomputed
+    assert not os.path.exists(stale)             # stale wave data removed
+    want = pixel_overlaps(spark, GRID, _polys())
+    assert wm.n_rows == want.n_rows

@@ -16,6 +16,10 @@ runtime-...`` + catalog conf to spark-submit and these helpers use
 
 from __future__ import annotations
 
+import json
+import os
+from urllib.parse import urlparse
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,7 +64,12 @@ def save_copartitioned(pix_values: DataFrame, wm, name: str,
     the Iceberg ``bucket(pix_idx)`` partition transform plays this role).
 
     Tables land in the session catalog as ``<name>_fact`` /
-    ``<name>_overlaps``; reload with read_copartitioned.
+    ``<name>_overlaps``; reload with read_copartitioned.  A
+    ``<name>_copart_manifest.json`` (bucket count + row counts) lands in
+    the warehouse dir so the read side can verify the pair's integrity —
+    the exchange-free join TRUSTS the catalog's bucket metadata, and a
+    foreign-written or hand-copied table that violates it would silently
+    mis-join (VERDICT r4 ask #8).
     """
     (pix_values.write.mode(mode)
         .bucketBy(n_buckets, "pix_idx").sortBy("pix_idx")
@@ -68,19 +77,88 @@ def save_copartitioned(pix_values: DataFrame, wm, name: str,
     (wm.overlaps.write.mode(mode)
         .bucketBy(n_buckets, "pix_idx").sortBy("pix_idx")
         .saveAsTable(f"{name}_overlaps"))
+    spark = pix_values.sparkSession
+    # count the WRITTEN tables (parquet-footer metadata, no recompute of
+    # the decode/overlap lineage behind the input DataFrames)
+    manifest = {"version": 1, "n_buckets": n_buckets,
+                "fact_rows": spark.table(f"{name}_fact").count(),
+                "overlaps_rows": spark.table(f"{name}_overlaps").count()}
+    mpath = _copart_manifest_path(spark, name)
+    if mpath is not None:
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
 
 
-def read_copartitioned(spark: SparkSession, name: str, polys, grid, epsg):
+def _copart_manifest_path(spark: SparkSession, name: str) -> str | None:
+    """Local-filesystem warehouse only (the sandbox convention); on a
+    remote warehouse the manifest is skipped and read verification
+    degrades to the bucket-DDL check."""
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme not in ("", "file"):
+        return None
+    return os.path.join(wh.path, f"{name}_copart_manifest.json")
+
+
+def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if r["col_name"] == "Num Buckets":
+            return int(r["data_type"])
+    return None
+
+
+def read_copartitioned(spark: SparkSession, name: str, polys, grid, epsg,
+                       verify: bool = True):
     """Reload a save_copartitioned pair: (fact DataFrame, WeightMap whose
     overlap side carries the bucket distribution — joins on pix_idx against
     the fact table are exchange-free).
 
-    n_rows is left None ON PURPOSE: counting would scan the table at load
-    time, and with None the aggregate auto-picks the non-broadcast join —
-    exactly the bucket-co-located SortMergeJoin these tables exist for."""
+    verify=True (default) checks the pair's integrity before handing it
+    out: both tables' catalog bucket counts must match each other AND the
+    save-time manifest, and each table's row count must match the
+    manifest's (metadata-cheap: an empty-projection count reads parquet
+    footers, not data pages).  The exchange-free join silently mis-joins
+    when the files don't honor the catalog's bucket spec — a foreign
+    writer or a hand-copied file must fail HERE, not produce wrong
+    aggregates (VERDICT r4 ask #8; mirrors read_wm's lineage check).
+
+    n_rows is left None ON PURPOSE: with None the aggregate auto-picks the
+    non-broadcast join — exactly the bucket-co-located SortMergeJoin these
+    tables exist for."""
     from ..operators.overlaps import WeightMap
     fact = spark.table(f"{name}_fact")
     overlaps = spark.table(f"{name}_overlaps")
+    if verify:
+        nb_f = _table_num_buckets(spark, f"{name}_fact")
+        nb_o = _table_num_buckets(spark, f"{name}_overlaps")
+        if nb_f is None or nb_f != nb_o:
+            raise ValueError(
+                f"copartitioned pair {name!r} is not co-bucketed: "
+                f"{name}_fact has {nb_f} bucket(s), {name}_overlaps has "
+                f"{nb_o} — the exchange-free pix_idx join would mis-join; "
+                "rewrite the pair with save_copartitioned")
+        mpath = _copart_manifest_path(spark, name)
+        if mpath is not None and os.path.exists(mpath):
+            with open(mpath) as f:
+                man = json.load(f)
+            if nb_f != man["n_buckets"]:
+                raise ValueError(
+                    f"copartitioned pair {name!r} is corrupt: catalog says "
+                    f"{nb_f} buckets but the save-time manifest recorded "
+                    f"{man['n_buckets']} — the tables were rewritten or "
+                    "replaced outside save_copartitioned")
+            for tbl, df, key in ((f"{name}_fact", fact, "fact_rows"),
+                                 (f"{name}_overlaps", overlaps,
+                                  "overlaps_rows")):
+                n = df.count()
+                if n != man[key]:
+                    raise ValueError(
+                        f"copartitioned table {tbl!r} is corrupt: {n} rows "
+                        f"vs {man[key]} in the save-time manifest — "
+                        "file(s) added, removed, or truncated since "
+                        "save_copartitioned; the bucket layout can no "
+                        "longer be trusted for the exchange-free join")
     wm = WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
                    has_weights="weight" in overlaps.columns,
                    n_rows=None, bucketed=True)

@@ -373,6 +373,11 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             computed += 1
             _commit_state()
         shutil.rmtree(tmpdir, ignore_errors=True)
+    # a crash between the final wave's bucket commits and its rmtree above
+    # leaves _wave.tmp behind; a later resume with ZERO pending buckets
+    # never enters the wave loop, so clean up unconditionally here — the
+    # stale wave data can be GBs at scale (ADVICE r4)
+    shutil.rmtree(os.path.join(checkpoint, "_wave.tmp"), ignore_errors=True)
     if killed:
         raise RuntimeError(f"simulated failure after {computed} buckets")
 

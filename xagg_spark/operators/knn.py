@@ -183,7 +183,10 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
     distance, ties on pix_idx.  epsg defaults to the J2 pick from the
     centers' latitude bbox.  Queries the expansion cannot complete by
     max_radius_deg (k exceeds the pixel count) return every pixel found,
-    fully ranked."""
+    fully ranked; a query whose rings held NO pixel at all by
+    max_radius_deg is OMITTED from the output (no q_id row) — both cases
+    emit a UserWarning listing the under-k q_ids, so callers joining the
+    result back by q_id get a loud signal instead of silent row loss."""
     if len(centers) == 0:
         raise ValueError("knn_pixels: empty centers table")
     if epsg is None:
@@ -219,6 +222,20 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
                 done.add(int(r.q_id))
         if last:                      # accept whatever exists at max radius
             done = set(pending["q_id"].astype(int))
+            # queries whose expansion found FEWER than k pixels by
+            # max_radius_deg (possibly zero — those q_ids are then absent
+            # from the output entirely): loud, not silent row loss
+            # (ADVICE r4) — callers joining back by q_id must handle it
+            got = {int(r.q_id): int(r.n) for r in counts.itertuples()}
+            short = sorted(q for q in done if got.get(q, 0) < k)
+            if short:
+                import warnings
+                warnings.warn(
+                    f"knn_pixels: {len(short)} quer{'y' if len(short) == 1 else 'ies'} "
+                    f"returned fewer than k={k} rows at max_radius_deg="
+                    f"{max_radius_deg} (zero-row q_ids are omitted from the "
+                    f"output): q_id(s) {short[:20]}"
+                    + (" ..." if len(short) > 20 else ""))
         if done:
             ids = spark.createDataFrame(
                 pd.DataFrame({"q_id": np.array(sorted(done), dtype=np.int64)}))

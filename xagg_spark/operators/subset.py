@@ -47,9 +47,12 @@ def subset_find(pix_values: DataFrame, wm_pixels: DataFrame,
     return pix_values.join(F.broadcast(keys), key)
 
 
+_VAR_DEFAULT = "__auto__"      # sentinel: use 'var' if present, else None
+
+
 def warn_if_partial_nan(pix_values: DataFrame, dims=("t",),
                         value_col: str = "value",
-                        var_col: str | None = "var") -> bool:
+                        var_col: str | None = _VAR_DEFAULT) -> bool:
     """True (+ SomeNanWarning) when pixels are inconsistently NaN along a
     non-loc dim — PER-DIM diagnosis naming the offending variable and
     dimension(s), matching the reference's _diagnose_nans/_warn_ifsomenans
@@ -70,6 +73,11 @@ def warn_if_partial_nan(pix_values: DataFrame, dims=("t",),
             f"warn_if_partial_nan: dim column(s) {missing} not in the "
             f"input ({pix_values.columns}) — a silent skip here would "
             "report 'no partial NaNs' without having checked")
+    if var_col == _VAR_DEFAULT:
+        # sentinel default (ADVICE r4): frames WITHOUT a 'var' column get
+        # the cross-variable diagnosis under defaults (pre-r4 behavior);
+        # only an EXPLICITLY passed var_col that is absent raises below.
+        var_col = "var" if "var" in pix_values.columns else None
     if var_col is not None and var_col not in pix_values.columns:
         # mirror the dims guard: a misspelled var_col must not silently
         # degrade the per-variable diagnosis to a cross-variable one
