@@ -132,6 +132,65 @@ FROM rel
 """
 
 
+# hot-cell skew fixture (SURVEY §4 north_rule: "salted repartitioning on
+# hot H3 cells to handle polygon skew"): every polygon inside ONE ~5x5 deg
+# neighborhood, so the whole candidate set lands in a handful of prefilter
+# cells — the workload where unsalted refine partitions straggle
+NSKEW = 200
+
+
+def _skew_polys() -> PolygonSet:
+    rings, names = [], []
+    for i in range(NSKEW):
+        lon0 = -5.0 + (i % 10) * 0.45 + 0.03
+        lat0 = -5.0 + (i // 10) * 0.22 + 0.07
+        rings.append(rect_ring(lon0, lat0, lon0 + 1.1, lat0 + 0.9))
+        names.append(f"skew{i}")
+    return PolygonSet(rings, pd.DataFrame({"name": names}))
+
+
+def q_pixel_overlaps_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 under hot-cell skew, SALTED (VERDICT r4 ask #2): salt=4 round-
+    robins the concentrated candidate set across 4x-parallelism partitions
+    before the refine UDF — the result must still match the analytic
+    oracle exactly (salting may only move rows between tasks, never change
+    a value).  The companion plan/distribution tests live in
+    tests/test_skew_salting.py; the bench split geo_skew_(un)salted times
+    both paths on the same hot fixture at domain scale."""
+    from .operators import pixel_overlaps
+    wm = pixel_overlaps(spark, QGRID, _skew_polys(), salt=4)
+    return wm.overlaps.select(
+        "poly_idx", "pix_idx",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        F.round("rel_area", 7).alias("rel_area"))
+
+
+SKEWPOLY_CTE = f"""
+spolys AS (
+  SELECT CAST(range AS BIGINT) AS poly_idx,
+         -5.0 + (range % 10) * 0.45 + 0.03 AS plon0,
+         -5.0 + (range // 10) * 0.22 + 0.07 AS plat0,
+         -5.0 + (range % 10) * 0.45 + 0.03 + 1.1 AS plon1,
+         -5.0 + (range // 10) * 0.22 + 0.07 + 0.9 AS plat1
+  FROM range({NSKEW})
+)"""
+
+SQL_PIXEL_OVERLAPS_SKEWED = f"""
+WITH {PIX_CTE.strip()}, {SKEWPOLY_CTE.strip()},
+ov AS (
+  SELECT p.poly_idx, x.pix_idx, x.lat, x.lon, x.ix, x.iy,
+         {_cea_area_sql('greatest(x.lat0, p.plat0)', 'least(x.lat1, p.plat1)',
+                        'greatest(x.lon0, p.plon0)', 'least(x.lon1, p.plon1)')} AS area
+  FROM pix x JOIN spolys p
+    ON x.lon1 > p.plon0 AND x.lon0 < p.plon1
+   AND x.lat1 > p.plat0 AND x.lat0 < p.plat1
+), {REL_CTE.strip()}
+SELECT poly_idx, pix_idx, round(lat, 6) AS lat, round(lon, 6) AS lon,
+       round(rel_area, 7) AS rel_area
+FROM rel
+"""
+
+
 def q_aggregate_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/§2.8: full pipeline incl. image decode — area-weighted mean per
     (polygon, t) of the deterministic tile values."""
@@ -1459,6 +1518,7 @@ WHERE ({QGRID.lat_edge} + ty * {tile_dlat}) + {tile_dlat} > {BB[1]}
 def all_queries():
     return {
         "pixel_overlaps_rect": q_pixel_overlaps_rect,
+        "pixel_overlaps_skewed": q_pixel_overlaps_skewed,
         "pixel_overlaps_polar": q_pixel_overlaps_polar,
         "pixel_overlaps_irregular": q_pixel_overlaps_irregular,
         "aggregate_weighted_mean": q_aggregate_weighted_mean,
@@ -1505,6 +1565,7 @@ def all_queries():
 def all_oracle_sql():
     return {
         "pixel_overlaps_rect": SQL_PIXEL_OVERLAPS,
+        "pixel_overlaps_skewed": SQL_PIXEL_OVERLAPS_SKEWED,
         "pixel_overlaps_polar": SQL_PIXEL_OVERLAPS_POLAR,
         "pixel_overlaps_irregular": _sql_pixel_overlaps_irregular(),
         "aggregate_weighted_mean": SQL_AGG_MEAN,
