@@ -644,12 +644,19 @@ def run():
         t0 = time.time()
         try:
             resume_pixel_overlaps(spark, big, _bench_polys(), ckpt,
-                                  n_buckets=12, _fail_after=5)
+                                  n_buckets=12, _fail_after=5,
+                                  wave_size=6)
         except RuntimeError:
             pass                          # simulated mid-build kill
+        # wave_size=6: each run fits its pending buckets in at most two
+        # wave jobs (vs four at the default 4), halving the per-wave fixed
+        # costs (full pixel scan + cover broadcast + stats job) that
+        # dominate the overhead — the documented amortization-vs-
+        # kill-loss-granularity knob (weightmap_io docstring); resume
+        # granularity is still the bucket (12 of them)
         wm_r, n_resumed = resume_pixel_overlaps(spark, big,
                                                 _bench_polys(), ckpt,
-                                                n_buckets=12)
+                                                n_buckets=12, wave_size=6)
         resume_ts.append(time.time() - t0)
         runs.setdefault("geo4x_resume_build", []).append(
             [round(resume_ts[-1], 2), _load1m()])
