@@ -250,3 +250,25 @@ def test_tile_bucket_partition_pruning(spark, tmp_path):
     missed = prefilter_images_bbox(back, GRID, 500.0, 500.0, 501.0, 501.0,
                                    tile_buckets=8)
     assert missed.count() == 0
+
+
+def test_bucket_filter_for_bbox_edge_cases():
+    """Pure-driver unit: the bbox->bucket enumeration must wrap with the
+    modulus on tall grids, saturate to None (no prune) when every bucket
+    is present, and return [] for a bbox that misses the grid."""
+    from xagg_spark.io.tables import bucket_filter_for_bbox
+
+    tall = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=0.5, dlon=0.5,
+                    nlat=96, nlon=16, tile_h=8, tile_w=8)   # 12 tile rows
+    # rows 9..11 with 8 buckets -> wrapped residues {1, 2, 3}
+    assert bucket_filter_for_bbox(tall, 0.0, 36.0, 8.0, 48.0,
+                                  tile_buckets=8) == [1, 2, 3]
+    # >= tile_buckets rows in range: every bucket present -> None
+    assert bucket_filter_for_bbox(tall, 0.0, 0.0, 8.0, 48.0,
+                                  tile_buckets=8) is None
+    # bbox entirely off-grid -> []
+    assert bucket_filter_for_bbox(tall, 200.0, 200.0, 201.0, 201.0,
+                                  tile_buckets=8) == []
+    # bucket count larger than the row count: identity buckets
+    assert bucket_filter_for_bbox(tall, 0.0, 0.0, 8.0, 7.9,
+                                  tile_buckets=64) == [0, 1]

@@ -150,13 +150,14 @@ def _skew_polys() -> PolygonSet:
 
 
 def q_pixel_overlaps_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 under hot-cell skew, SALTED (VERDICT r4 ask #2): salt=4 round-
-    robins the concentrated candidate set across 4x-parallelism partitions
-    before the refine UDF — the result must still match the analytic
-    oracle exactly (salting may only move rows between tasks, never change
-    a value).  The companion plan/distribution tests live in
-    tests/test_skew_salting.py; the bench split geo_skew_(un)salted times
-    both paths on the same hot fixture at domain scale."""
+    """J1 under hot-cell skew, SALTED (VERDICT r4 ask #2): salt=4 hash-
+    salts the concentrated boundary candidates on (poly_idx, pix_idx % 4)
+    across 4x-parallelism partitions before the refine UDF — the result
+    must still match the analytic oracle exactly (salting may only move
+    rows between tasks, never change a value).  The companion
+    plan/distribution tests live in tests/test_skew_salting.py; the bench
+    split geo_skew_(un)salted times both paths on a hot fixture at domain
+    scale."""
     from .operators import pixel_overlaps
     wm = pixel_overlaps(spark, QGRID, _skew_polys(), salt=4)
     return wm.overlaps.select(

@@ -159,6 +159,12 @@ def _check_state_mode_marker(checkpoint_dir: str, state: str) -> None:
                 "(re-feeding the corpus or accepting re-emits of "
                 "pre-switch documents).")
         return
+    if os.path.exists(os.path.join(checkpoint_dir, "offsets")):
+        # pre-marker checkpoint with real progress: the requested mode is
+        # UNVERIFIABLE here — do not stamp it (a wrong stamp would block
+        # the later CORRECT-mode restart); Spark's state-schema check
+        # remains the backstop for this one legacy restart
+        return
     os.makedirs(checkpoint_dir, exist_ok=True)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
