@@ -193,3 +193,39 @@ def test_knn_warns_on_under_k_and_zero_row_queries(spark):
                          radius_deg=2.0, max_radius_deg=16.0).toPandas()
     assert set(got["q_id"]) == {0}                # q1 omitted, documented
     assert len(got[got.q_id == 0]) == 3
+
+
+def test_knn_driver_side_scales_to_1m_centers():
+    """VERDICT r4 ask #5 (driver half): at 10^6 pending centers the
+    per-iteration driver work — ragged ring-cover expansion, resolution
+    coarsening, verified-radius computation — must stay around a second
+    and the chosen cover must respect the broadcast row budget.  Pure
+    numpy; the cluster half is the bench's knn_100k_centers entry."""
+    import time
+
+    from xagg_spark.operators.knn import (COVER_ROW_BUDGET, _cover_rows,
+                                          _min_edge_distance_m,
+                                          _ring_resolution)
+
+    n = 1_000_000
+    rng = np.arange(n, dtype=np.int64)
+    centers = pd.DataFrame({
+        "q_id": rng,
+        "c_lon": -175.0 + (rng % 2000) * 0.175,
+        "c_lat": -85.0 + (rng // 2000) * 0.34,
+    })
+    radius = 0.2
+    res = _ring_resolution(radius, n)
+    assert res < 11                      # budget forced a coarsening
+    t0 = time.time()
+    cover = _cover_rows(centers, radius, res)
+    t_cover = time.time() - t0
+    assert len(cover) <= COVER_ROW_BUDGET
+    assert cover["q_id"].nunique() == n  # every center covered
+    t0 = time.time()
+    verified = _min_edge_distance_m(centers, radius, _ell.EPSG_GLOBAL)
+    t_verified = time.time() - t0
+    assert len(verified) == n
+    # generous wall bounds (CI boxes vary); typical: ~0.1-0.3s each
+    assert t_cover < 2.0, t_cover
+    assert t_verified < 2.0, t_verified
