@@ -255,20 +255,79 @@ def test_tile_bucket_partition_pruning(spark, tmp_path):
 def test_bucket_filter_for_bbox_edge_cases():
     """Pure-driver unit: the bbox->bucket enumeration must wrap with the
     modulus on tall grids, saturate to None (no prune) when every bucket
-    is present, and return [] for a bbox that misses the grid."""
+    is present, and return [] for a bbox that misses the grid.  The row
+    range is deliberately widened by one tile row per side (code-review
+    r5: the JVM float tile-edge arithmetic can disagree with the driver's
+    by one ulp at tile-aligned bbox edges, and the bucket list must be a
+    conservative SUPERSET of the rows the tile predicates keep)."""
     from xagg_spark.io.tables import bucket_filter_for_bbox
 
     tall = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=0.5, dlon=0.5,
                     nlat=96, nlon=16, tile_h=8, tile_w=8)   # 12 tile rows
-    # rows 9..11 with 8 buckets -> wrapped residues {1, 2, 3}
+    # interior rows 9..11 widened to 8..11 with 8 buckets -> residues 0..3
     assert bucket_filter_for_bbox(tall, 0.0, 36.0, 8.0, 48.0,
-                                  tile_buckets=8) == [1, 2, 3]
+                                  tile_buckets=8) == [0, 1, 2, 3]
     # >= tile_buckets rows in range: every bucket present -> None
     assert bucket_filter_for_bbox(tall, 0.0, 0.0, 8.0, 48.0,
                                   tile_buckets=8) is None
     # bbox entirely off-grid -> []
     assert bucket_filter_for_bbox(tall, 200.0, 200.0, 201.0, 201.0,
                                   tile_buckets=8) == []
-    # bucket count larger than the row count: identity buckets
+    # bucket count larger than the row count: identity buckets; bottom
+    # edge clamps at 0, top edge widens into row 2
     assert bucket_filter_for_bbox(tall, 0.0, 0.0, 8.0, 7.9,
-                                  tile_buckets=64) == [0, 1]
+                                  tile_buckets=64) == [0, 1, 2]
+    # superset property: a tile-row-ALIGNED bbox edge (the ulp-risk case)
+    # must still include the row on both sides of the edge
+    aligned = bucket_filter_for_bbox(tall, 0.0, 16.0, 8.0, 16.0,
+                                     tile_buckets=64)
+    assert set(aligned) >= {3, 4}
+
+
+def test_tile_layout_manifest_guards(spark, tmp_path):
+    """write_images records the bucket layout in _tile_layout.json;
+    appends with a different layout fail fast (mixed bucket semantics in
+    one table would silently drop rows at prune time), and
+    prefilter_images_bbox(layout_path=) resolves the true write-time
+    bucket count from the manifest instead of trusting the caller."""
+    import json
+    import os
+
+    import pytest
+
+    from xagg_spark.io.tables import read_tile_layout
+
+    p = str(tmp_path / "imgs_layout")
+    imgs = generate_spark(spark, GRID, ntime=1, fmt="raw32")
+    write_images(imgs, p, mode="overwrite", tile_buckets=8,
+                 one_file_per_bucket=True)
+    layout = read_tile_layout(p)
+    assert layout == {"scheme": "ty_mod", "tile_buckets": 8}
+
+    # append with the SAME layout: fine
+    write_images(imgs, p, mode="append", tile_buckets=8,
+                 one_file_per_bucket=True)
+    # append with a DIFFERENT bucket count: fail fast
+    with pytest.raises(ValueError, match="mixed bucket layouts"):
+        write_images(imgs, p, mode="append", tile_buckets=16)
+
+    # layout_path resolves the bucket count from the manifest
+    back = spark.read.parquet(p)
+    bbox = (1.2, 1.1, 4.3, 3.9)
+    via_manifest = prefilter_images_bbox(back, GRID, *bbox, layout_path=p)
+    explicit = prefilter_images_bbox(back, GRID, *bbox, tile_buckets=8)
+    assert (sorted(r.image_id for r in via_manifest.collect())
+            == sorted(r.image_id for r in explicit.collect()))
+    plan = via_manifest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile_bucket" in plan
+
+    # no manifest at the path -> clear error, not silent bad pruning
+    with pytest.raises(ValueError, match="no _tile_layout.json"):
+        prefilter_images_bbox(back, GRID, *bbox,
+                              layout_path=str(tmp_path / "nowhere"))
+
+    # unknown scheme -> refuse to prune with wrong arithmetic
+    with open(os.path.join(p, "_tile_layout.json"), "w") as f:
+        json.dump({"scheme": "xxhash64", "tile_buckets": 8}, f)
+    with pytest.raises(ValueError, match="bucket scheme"):
+        prefilter_images_bbox(back, GRID, *bbox, layout_path=p)
