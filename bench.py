@@ -135,6 +135,19 @@ def _knn_centers_100k():
     })
 
 
+def _knn_centers_1m():
+    """10^6 centers (r4 ask #5 upper end): no resolution fits this cover
+    in the broadcast budget, so knn_pixels must take the shuffle cover
+    path (cluster-built JVM cover, equi-join on cell_id) — the workload
+    that hung as a single-key cartesian under unbounded coarsening."""
+    rng = np.arange(1_000_000, dtype=np.int64)
+    return pd.DataFrame({
+        "q_id": rng,
+        "c_lon": -38.0 + (rng % 1200) * 0.0966 + (rng % 7) * 0.0013,
+        "c_lat": -18.0 + (rng // 1200) * 0.0672 + (rng % 5) * 0.0011,
+    })
+
+
 NSKEW_BENCH = 200
 
 
@@ -399,6 +412,26 @@ def run():
     _record("knn_100k_centers", ts)
     rows_per_sec["knn_100k_centers"] = round(
         cnt / max(queries["knn_100k_centers"], 1e-3), 0)
+
+    # kNN at 10^6 centers (r4 ask #5 upper end): at this count NO
+    # resolution fits the (q_id, cell) cover in the broadcast budget (the
+    # per-center cover floors at ~4 cells), so knn_pixels switches to the
+    # SHUFFLE cover path — the cover is built on the cluster with JVM
+    # sequence/explode at the radius-matched resolution and equi-joined on
+    # cell_id.  Before that path existed, the budget loop walked the
+    # resolution to 0 and this workload hung as a single-key cartesian.
+    centers1m = _knn_centers_1m()
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        cnt = knn_pixels(spark, bench_pixels, centers1m, k=5,
+                         radius_deg=0.2).count()
+        ts.append(time.time() - t0)
+        runs.setdefault("knn_1m_centers", []).append(
+            [round(ts[-1], 2), _load1m()])
+    _record("knn_1m_centers", ts)
+    rows_per_sec["knn_1m_centers"] = round(
+        cnt / max(queries["knn_1m_centers"], 1e-3), 0)
 
     # hot-cell skew split (r4 ask #2): same hot fixture, salt=0 vs salt=4.
     # The salted build must not be slower under skew — the per-run pair is

@@ -197,14 +197,21 @@ def test_knn_warns_on_under_k_and_zero_row_queries(spark):
 
 def test_knn_driver_side_scales_to_1m_centers():
     """VERDICT r4 ask #5 (driver half): at 10^6 pending centers the
-    per-iteration driver work — ragged ring-cover expansion, resolution
-    coarsening, verified-radius computation — must stay around a second
-    and the chosen cover must respect the broadcast row budget.  Pure
-    numpy; the cluster half is the bench's knn_100k_centers entry."""
+    per-iteration driver work — coarsening decision, verified-radius
+    computation — must stay around a second, and the mode decision must
+    pick the SHUFFLE cover path: the per-center cover floors at ~4 cells,
+    so no resolution fits 10^6 centers in the broadcast budget, and the
+    old unbounded coarsening walked res to 0 (one global cell — a
+    single-key cartesian of every pixel against every center).  Pure
+    numpy; the cluster half is the bench's knn_100k_centers entry and
+    test_knn_shuffle_cover_path_matches_brute_force."""
     import time
 
-    from xagg_spark.operators.knn import (COVER_ROW_BUDGET, _cover_rows,
+    from xagg_spark.operators.knn import (COVER_ROW_BUDGET,
+                                          MAX_COARSEN_LEVELS, _cover_rows,
+                                          _matched_resolution,
                                           _min_edge_distance_m,
+                                          _per_center_cells,
                                           _ring_resolution)
 
     n = 1_000_000
@@ -216,12 +223,18 @@ def test_knn_driver_side_scales_to_1m_centers():
     })
     radius = 0.2
     res = _ring_resolution(radius, n)
-    assert res < 11                      # budget forced a coarsening
+    # coarsening is CLAMPED (no walk to res 0) ...
+    assert res == _matched_resolution(radius) - MAX_COARSEN_LEVELS
+    # ... and the budget is still unreachable -> knn_pixels goes shuffle
+    assert n * _per_center_cells(radius, res) > COVER_ROW_BUDGET
+    # at 10^5 (the bench entry) the broadcast path still applies
+    res100k = _ring_resolution(radius, 100_000)
+    assert 100_000 * _per_center_cells(radius, res100k) <= COVER_ROW_BUDGET
     t0 = time.time()
-    cover = _cover_rows(centers, radius, res)
+    cover = _cover_rows(centers[:100_000], radius, res100k)
     t_cover = time.time() - t0
     assert len(cover) <= COVER_ROW_BUDGET
-    assert cover["q_id"].nunique() == n  # every center covered
+    assert cover["q_id"].nunique() == 100_000   # every center covered
     t0 = time.time()
     verified = _min_edge_distance_m(centers, radius, _ell.EPSG_GLOBAL)
     t_verified = time.time() - t0
@@ -229,3 +242,51 @@ def test_knn_driver_side_scales_to_1m_centers():
     # generous wall bounds (CI boxes vary); typical: ~0.1-0.3s each
     assert t_cover < 2.0, t_cover
     assert t_verified < 2.0, t_verified
+
+
+def test_cover_df_jvm_matches_cover_rows(spark):
+    """The distributed (JVM sequence/explode) cover must produce exactly
+    the same (q_id, cell_id) set as the driver-side numpy cover — both
+    are float64 with the same floor/ceil/pmod formulas — including
+    antimeridian-wrapping boxes and pole-clamped lats."""
+    from xagg_spark.operators.knn import _cover_df_jvm, _cover_rows
+
+    centers = pd.DataFrame({
+        "q_id": np.arange(6, dtype=np.int64),
+        "c_lon": [179.8, -179.9, 0.25, -38.0, 100.0, -0.125],
+        "c_lat": [10.0, -5.5, 89.95, -89.9, 0.0, 45.125],
+    })
+    for radius, res in ((0.2, 11), (0.7, 8), (3.0, 5), (20.0, 2)):
+        want = _cover_rows(centers, radius, res)
+        got = _cover_df_jvm(spark, centers, radius, res).toPandas()
+        w = set(zip(want.q_id.tolist(), want.cell_id.tolist()))
+        g = set(zip(got.q_id.tolist(), got.cell_id.tolist()))
+        assert g == w, (radius, res)
+        # no duplicate (q, cell) pairs (a dup would double-rank a pixel)
+        assert not got.duplicated(["q_id", "cell_id"]).any()
+
+
+def test_knn_shuffle_cover_path_matches_brute_force(spark, monkeypatch):
+    """End-to-end through the SHUFFLE cover path (broadcast budget forced
+    to 0 so every iteration takes it): results must equal the independent
+    brute-force ranking — same contract as the broadcast path."""
+    from xagg_spark.operators import knn as _knn
+
+    monkeypatch.setattr(_knn, "COVER_ROW_BUDGET", 0)
+    grid = GridSpec(lat_edge=-10.0, lon_edge=-10.0, dlat=1.0, dlon=1.0,
+                    nlat=20, nlon=20, tile_h=20, tile_w=20)
+    centers = pd.DataFrame({
+        "q_id": np.arange(3, dtype=np.int64),
+        "c_lon": [1.0, -7.25, 8.5],
+        "c_lat": [1.0, 6.125, -9.0],
+    })
+    _run(spark, grid, centers, k=7, expect_epsg=_ell.EPSG_GLOBAL)
+    # and the polar wrapped-lon geometry through the same path
+    pgrid = GridSpec(lat_edge=55.0, lon_edge=-30.0, dlat=1.0, dlon=1.0,
+                     nlat=20, nlon=40, tile_h=20, tile_w=20)
+    pcenters = pd.DataFrame({
+        "q_id": np.arange(2, dtype=np.int64),
+        "c_lon": [-12.25, 7.8125],
+        "c_lat": [58.125, 71.25],
+    })
+    _run(spark, pgrid, pcenters, k=5, expect_epsg=_ell.EPSG_NORTH)

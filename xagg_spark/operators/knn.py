@@ -12,10 +12,17 @@ Scale path (the actual cell-index ring expansion): each iteration covers
 every still-unconfirmed center's search box with equal-angle CELLS
 (geo.cells — the H3 ``grid_disk`` analogue) at a radius-matched resolution,
 pixels get the same cell id as a JVM column expression, and candidates come
-from a Broadcast **HASH** join on cell_id — never a nested-loop range join,
-so cost is O(pixels_in_rings), not O(pixels x centers) per iteration
-(VERDICT r3 ask #3: 10^6 query points no longer degrade to an all-pairs
-scan).  Candidates are then clipped to the exact search region and ranked
+from an equi-join on cell_id — never a nested-loop range join, so cost is
+O(pixels_in_rings), not O(pixels x centers) per iteration (VERDICT r3 ask
+#3: 10^6 query points no longer degrade to an all-pairs scan).  The cover
+side adapts to the center count: below the broadcast budget it is built on
+the driver (vectorized numpy) and shipped as a Broadcast HASH join, with at
+most MAX_COARSEN_LEVELS of resolution coarsening to fit; past that (10^6+
+pending centers, where no resolution fits — the per-center cover floors at
+~4 cells) it is built ON THE CLUSTER with JVM sequence/explode at the
+radius-matched resolution and shuffle-joined (AQE picks the strategy and
+splits skewed cells).  Candidates are then clipped to the exact search
+region and ranked
 with the skew-safe two-phase top-k; a query is CONFIRMED (and leaves the
 loop) when its k-th distance is inside the verified radius — the distance
 to the nearest boundary of the region actually searched (the standard
@@ -53,6 +60,17 @@ from ..geo import ellipsoid as _ell
 # the resolution auto-coarsens (bigger cells, same candidates after the
 # exact region filter) until the cover fits.
 COVER_ROW_BUDGET = 1_000_000
+
+# how many levels below the radius-matched resolution the broadcast path may
+# coarsen before the candidate slop (cells grow 2x per axis per level while
+# the exact region stays fixed) outweighs the broadcast saving.  Past this,
+# knn_pixels switches to the SHUFFLE cover path: the cover is built on the
+# cluster at the radius-matched resolution (JVM sequence/explode — never
+# collected to the driver) and equi-joined on cell_id without a broadcast.
+# Found the hard way: at 10^6 pending centers the per-center cover floors at
+# ~4 cells, the budget loop walked res to 0, and the "hash join" became a
+# single-key cartesian (n_pixels x n_centers rows behind one cell_id).
+MAX_COARSEN_LEVELS = 3
 
 
 def _proj_cols(lon_col, lat_col, epsg: int):
@@ -92,20 +110,34 @@ def _cell_id_col(lon_col, lat_col, res: int) -> F.Column:
             + F.shiftleft(ix, 29) + iy)
 
 
+def _matched_resolution(radius_deg: float) -> int:
+    """Radius-matched resolution: ~4 cells across the search box in lon
+    (~45 cells per center with lat at 2x density and boundary rounding)."""
+    return int(np.clip(np.floor(np.log2(720.0 / max(radius_deg, 1e-9))),
+                       0, _cells.MAX_RES))
+
+
+def _per_center_cells(radius_deg: float, res: int) -> float:
+    """Estimated (q_id, cell) cover rows per center at this resolution."""
+    n = 1 << res
+    return ((2.0 * radius_deg * n / 360.0 + 2.0)
+            * (2.0 * radius_deg * n / 180.0 + 2.0))
+
+
 def _ring_resolution(radius_deg: float, n_pending: int) -> int:
-    """Cell resolution for one expansion iteration: ~4 cells across the box
-    in lon (~45 cells per center with lat at 2x density and boundary
-    rounding), coarsened until the whole (q_id, cell) cover fits the
-    broadcast row budget.  Candidate count is set by pixel density inside
-    the exact search region, not by cell size — coarser cells only add
-    slop that the exact region filter removes."""
-    res = int(np.clip(np.floor(np.log2(720.0 / max(radius_deg, 1e-9))),
-                      0, _cells.MAX_RES))
-    while res > 0:
-        n = 1 << res
-        per_center = ((2.0 * radius_deg * n / 360.0 + 2.0)
-                      * (2.0 * radius_deg * n / 180.0 + 2.0))
-        if n_pending * per_center <= COVER_ROW_BUDGET:
+    """Cell resolution for the BROADCAST cover: the radius-matched
+    resolution, coarsened until the whole (q_id, cell) cover fits the
+    broadcast row budget — but never more than MAX_COARSEN_LEVELS below
+    matched.  Candidate count is set by pixel density inside the exact
+    search region, not by cell size — moderate coarsening only adds slop
+    that the exact region filter removes, while unbounded coarsening
+    degenerates to a few global cells and a single-key cartesian (the
+    10^6-center failure).  When even the clamped resolution cannot meet
+    the budget, knn_pixels uses the shuffle cover path instead."""
+    res = _matched_resolution(radius_deg)
+    floor_res = max(res - MAX_COARSEN_LEVELS, 0)
+    while res > floor_res:
+        if n_pending * _per_center_cells(radius_deg, res) <= COVER_ROW_BUDGET:
             break
         res -= 1
     return res
@@ -149,19 +181,11 @@ def _cover_rows(pending: pd.DataFrame, radius_deg: float, res: int) -> pd.DataFr
                          "c_lat": clat[rep], "c_lon": clon[rep]})
 
 
-def _ring_candidates(spark: SparkSession, pixels: DataFrame,
-                     pending: pd.DataFrame, radius: float, res: int,
-                     epsg: int, wrap_lon: bool) -> DataFrame:
-    """One expansion iteration's candidate set: Broadcast HASH join of
-    pixels against the (q_id, cell_id) ring cover — never a nested-loop
-    range join — then the exact search-region clip (cells are a
-    conservative superset; region geometry per CRS in the module
-    docstring) and the projected squared distance."""
-    cover = F.broadcast(spark.createDataFrame(
-        _cover_rows(pending, radius, res)))
-    j = (pixels.withColumn("cell_id",
-                           _cell_id_col(F.col("lon"), F.col("lat"), res))
-               .join(cover, "cell_id"))
+def _clip_and_dist(j: DataFrame, radius: float, epsg: int,
+                   wrap_lon: bool) -> DataFrame:
+    """Exact search-region clip (the cell cover is a conservative
+    superset; region geometry per CRS in the module docstring) + the
+    projected squared distance — shared by both cover paths."""
     if wrap_lon:
         dlon = F.abs(F.pmod(F.col("lon") - F.col("c_lon") + F.lit(540.0),
                             F.lit(360.0)) - F.lit(180.0))
@@ -172,6 +196,81 @@ def _ring_candidates(spark: SparkSession, pixels: DataFrame,
     px, py = _proj_cols(F.col("lon"), F.col("lat"), epsg)
     cx, cy = _proj_cols(F.col("c_lon"), F.col("c_lat"), epsg)
     return j.withColumn("dist2", (px - cx) ** 2 + (py - cy) ** 2)
+
+
+def _ring_candidates(spark: SparkSession, pixels: DataFrame,
+                     pending: pd.DataFrame, radius: float, res: int,
+                     epsg: int, wrap_lon: bool) -> DataFrame:
+    """One expansion iteration's candidate set: Broadcast HASH join of
+    pixels against the (q_id, cell_id) ring cover — never a nested-loop
+    range join — then the exact region clip and distance."""
+    cover = F.broadcast(spark.createDataFrame(
+        _cover_rows(pending, radius, res)))
+    j = (pixels.withColumn("cell_id",
+                           _cell_id_col(F.col("lon"), F.col("lat"), res))
+               .join(cover, "cell_id"))
+    return _clip_and_dist(j, radius, epsg, wrap_lon)
+
+
+def _cover_df_jvm(spark: SparkSession, pending: pd.DataFrame,
+                  radius: float, res: int) -> DataFrame:
+    """The (q_id, cell_id, c_lat, c_lon) ring cover as a DISTRIBUTED
+    DataFrame: per-center cell ranges with JVM arithmetic, expanded with
+    sequence/explode on the executors — the cover never materializes on
+    the driver, so center counts where even the radius-matched cover
+    exceeds the broadcast budget (10^6+) stay out of driver memory.
+    Mirrors _cover_rows' numpy arithmetic exactly (both are float64, same
+    floor/ceil/pmod formulas), property-tested for set equality in
+    tests/test_knn.py."""
+    n = 1 << res
+    c = spark.createDataFrame(pending[["q_id", "c_lat", "c_lon"]])
+    x0 = F.floor((F.col("c_lon") - F.lit(radius) + F.lit(180.0))
+                 / F.lit(360.0) * F.lit(n)).cast("long")
+    x1 = F.ceil((F.col("c_lon") + F.lit(radius) + F.lit(180.0))
+                / F.lit(360.0) * F.lit(n)).cast("long") - F.lit(1)
+    x1 = F.greatest(x1, x0)
+    nx = x1 - x0 + F.lit(1)
+    full = nx >= F.lit(n)              # full lon circle: each physical cell
+    x0 = F.when(full, F.lit(0)).otherwise(x0)   # exactly once
+    nx = F.when(full, F.lit(n)).otherwise(nx)
+    lat_lo = F.greatest(F.col("c_lat") - F.lit(radius), F.lit(-90.0))
+    lat_hi = F.least(F.col("c_lat") + F.lit(radius), F.lit(90.0))
+    y0 = F.greatest(F.least(
+        F.floor((lat_lo + F.lit(90.0)) / F.lit(180.0) * F.lit(n))
+         .cast("long"), F.lit(n - 1)), F.lit(0))
+    y1 = F.greatest(F.least(
+        F.ceil((lat_hi + F.lit(90.0)) / F.lit(180.0) * F.lit(n))
+         .cast("long") - F.lit(1), F.lit(n - 1)), F.lit(0))
+    ny = F.greatest(y1, y0) - y0 + F.lit(1)
+    c = (c.withColumn("_x0", x0).withColumn("_nx", nx)
+          .withColumn("_y0", y0).withColumn("_ny", ny))
+    c = c.withColumn("_lx", F.explode(F.sequence(
+        F.lit(0).cast("long"), F.col("_nx") - F.lit(1))))
+    c = c.withColumn("_ly", F.explode(F.sequence(
+        F.lit(0).cast("long"), F.col("_ny") - F.lit(1))))
+    ix = F.pmod(F.col("_x0") + F.col("_lx"), F.lit(n))
+    iy = F.col("_y0") + F.col("_ly")
+    cell = (F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftleft(ix, 29) + iy)
+    return c.select("q_id", cell.alias("cell_id"), "c_lat", "c_lon")
+
+
+def _ring_candidates_shuffle(spark: SparkSession, pixels: DataFrame,
+                             pending: pd.DataFrame, radius: float,
+                             res: int, epsg: int,
+                             wrap_lon: bool) -> DataFrame:
+    """Shuffle-cover variant for center counts beyond the broadcast
+    budget: the radius-matched cover is built on the cluster
+    (_cover_df_jvm) and equi-joined on cell_id as a plain shuffle join
+    (AQE picks the physical strategy and splits skewed cells).  Cost is
+    O(pixels_in_covers) candidate rows through one shuffle — linear in
+    centers and pixels, never the single-key cartesian the over-coarsened
+    broadcast path degenerated to at 10^6 centers."""
+    cover = _cover_df_jvm(spark, pending, radius, res)
+    j = (pixels.withColumn("cell_id",
+                           _cell_id_col(F.col("lon"), F.col("lat"), res))
+               .join(cover, "cell_id"))
+    return _clip_and_dist(j, radius, epsg, wrap_lon)
 
 
 def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
@@ -199,8 +298,18 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
     from .similarity import _topk_skew_safe
     while len(pending):
         res = _ring_resolution(radius, len(pending))
-        j = _ring_candidates(spark, pixels, pending, radius, res, epsg,
-                             wrap_lon)
+        if (len(pending) * _per_center_cells(radius, res)
+                <= COVER_ROW_BUDGET):
+            j = _ring_candidates(spark, pixels, pending, radius, res,
+                                 epsg, wrap_lon)
+        else:
+            # even MAX_COARSEN_LEVELS of coarsening can't fit the cover in
+            # the broadcast budget (10^6+ pending centers): build the cover
+            # on the cluster at the radius-MATCHED resolution and shuffle
+            # — coarser cells would only multiply candidate slop here
+            j = _ring_candidates_shuffle(spark, pixels, pending, radius,
+                                         _matched_resolution(radius),
+                                         epsg, wrap_lon)
         # skew-safe two-phase top-k: a domain-scale radius can put millions
         # of candidate pixels behind one q_id — never a single-partition
         # window over them (same helper as the ANN paths).  persist: the
@@ -216,18 +325,23 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
                      .agg(F.count(F.lit(1)).alias("n"),
                           F.max("dist2").alias("maxd2")).toPandas())
         last = radius >= max_radius_deg
-        done = set()
-        for r in counts.itertuples():
-            if r.n >= k and np.sqrt(r.maxd2) <= verified_m[int(r.q_id)]:
-                done.add(int(r.q_id))
+        # vectorized confirmation — counts can hold 10^6 rows, so no
+        # per-row Python: k-th distance inside the verified radius
+        cq = counts["q_id"].to_numpy(dtype=np.int64)
+        ok = ((counts["n"].to_numpy() >= k)
+              & (np.sqrt(counts["maxd2"].to_numpy())
+                 <= verified_m.reindex(cq).to_numpy()))
+        done = set(cq[ok].tolist())
         if last:                      # accept whatever exists at max radius
-            done = set(pending["q_id"].astype(int))
+            pq = pending["q_id"].to_numpy(dtype=np.int64)
+            done = set(pq.tolist())
             # queries whose expansion found FEWER than k pixels by
             # max_radius_deg (possibly zero — those q_ids are then absent
             # from the output entirely): loud, not silent row loss
             # (ADVICE r4) — callers joining back by q_id must handle it
-            got = {int(r.q_id): int(r.n) for r in counts.itertuples()}
-            short = sorted(q for q in done if got.get(q, 0) < k)
+            got = pd.Series(counts["n"].to_numpy(), index=cq)
+            short = sorted(pq[got.reindex(pq).fillna(0).to_numpy()
+                              < k].tolist())
             if short:
                 import warnings
                 warnings.warn(
@@ -257,11 +371,12 @@ def _min_edge_distance_m(centers: pd.DataFrame, radius_deg: float,
                          epsg: int) -> dict:
     """Projected distance from each center to the nearest boundary of the
     search region actually covered at this radius — the radius within which
-    results are provably complete.  A boundary piece that vanishes (lat
-    bound clamped at a pole, full wrapped lon circle) has no pixels beyond
-    it and drops out of the min; a region with no remaining boundary is the
-    whole plane -> +inf (always confirmed).  Vectorized over centers —
-    three batched forward() calls total, no per-center Python loop."""
+    results are provably complete, as a pd.Series indexed by q_id.  A
+    boundary piece that vanishes (lat bound clamped at a pole, full wrapped
+    lon circle) has no pixels beyond it and drops out of the min; a region
+    with no remaining boundary is the whole plane -> +inf (always
+    confirmed).  Vectorized over centers — three batched forward() calls
+    total, no per-center Python loop."""
     qid = centers["q_id"].to_numpy(dtype=np.int64)
     lon = centers["c_lon"].to_numpy(dtype=np.float64)
     lat = centers["c_lat"].to_numpy(dtype=np.float64)
@@ -301,4 +416,4 @@ def _min_edge_distance_m(centers: pd.DataFrame, radius_deg: float,
         else:
             radial = inf
         dist = np.minimum(np.minimum(arc_lo, arc_hi), radial)
-    return {int(q): float(d) for q, d in zip(qid, dist)}
+    return pd.Series(dist, index=qid)
