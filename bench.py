@@ -413,26 +413,6 @@ def run():
     rows_per_sec["knn_100k_centers"] = round(
         cnt / max(queries["knn_100k_centers"], 1e-3), 0)
 
-    # kNN at 10^6 centers (r4 ask #5 upper end): at this count NO
-    # resolution fits the (q_id, cell) cover in the broadcast budget (the
-    # per-center cover floors at ~4 cells), so knn_pixels switches to the
-    # SHUFFLE cover path — the cover is built on the cluster with JVM
-    # sequence/explode at the radius-matched resolution and equi-joined on
-    # cell_id.  Before that path existed, the budget loop walked the
-    # resolution to 0 and this workload hung as a single-key cartesian.
-    centers1m = _knn_centers_1m()
-    ts = []
-    for _ in range(REPS):
-        t0 = time.time()
-        cnt = knn_pixels(spark, bench_pixels, centers1m, k=5,
-                         radius_deg=0.2).count()
-        ts.append(time.time() - t0)
-        runs.setdefault("knn_1m_centers", []).append(
-            [round(ts[-1], 2), _load1m()])
-    _record("knn_1m_centers", ts)
-    rows_per_sec["knn_1m_centers"] = round(
-        cnt / max(queries["knn_1m_centers"], 1e-3), 0)
-
     # hot-cell skew split (r4 ask #2): same hot fixture, salt=0 vs salt=4.
     # The salted build must not be slower under skew — the per-run pair is
     # recorded and the self-check flags a salted min above the unsalted min
@@ -521,6 +501,30 @@ def run():
             if len(ts) >= MAX_REPS:
                 break
         rows_per_sec[name] = round(cnt / max(queries[name], 1e-3), 0)
+
+    # kNN at 10^6 centers (r4 ask #5 upper end) — measured LAST in this
+    # session: at this count NO resolution fits the (q_id, cell) cover in
+    # the broadcast budget (the per-center cover floors at ~4 cells), so
+    # knn_pixels switches to the SHUFFLE cover path — the cover is built
+    # on the cluster with JVM sequence/explode at the radius-matched
+    # resolution and equi-joined on cell_id.  Before that path existed,
+    # the budget loop walked the resolution to 0 and this workload hung as
+    # a single-key cartesian.  Last because its 60M-candidate shuffle +
+    # 5M-row result leaves GC/block-cleanup debris that inflates small
+    # queries measured after it in the same JVM (run E: simhash 1.84 vs
+    # the 1.24 r1 reference with the 10^6 section ahead of it).
+    centers1m = _knn_centers_1m()
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        cnt = knn_pixels(spark, bench_pixels, centers1m, k=5,
+                         radius_deg=0.2).count()
+        ts.append(time.time() - t0)
+        runs.setdefault("knn_1m_centers", []).append(
+            [round(ts[-1], 2), _load1m()])
+    _record("knn_1m_centers", ts)
+    rows_per_sec["knn_1m_centers"] = round(
+        cnt / max(queries["knn_1m_centers"], 1e-3), 0)
     spark.stop()
 
     for name in queries:
