@@ -60,6 +60,15 @@ class NoOverlapError(Exception):
 # weightmap 46s -> 24s with identical output.
 COVER_CELL_BUDGET = 800_000
 
+# rings per polygon batch when the cover budget is unreachable at ANY
+# resolution (the per-ring estimate floors at 1 cell, so only a
+# ring-count-dominated set — ~800k+ rings — can exhaust the coarsening
+# loop; before batching existed that walked res to 0 and the broadcast
+# "hash join" degenerated to a few global cells, i.e. a pixels x polygons
+# cartesian, the same failure mode the kNN cover had at 10^6 centers).
+# Also caps the ring dict shipped in each refine-UDF closure.
+POLY_BATCH_MAX_RINGS = 200_000
+
 
 def _estimated_cover_cells(polys, res: int) -> float:
     """Cheap driver-side upper-bound on the classified-cover row count:
@@ -391,6 +400,9 @@ class WeightMap:
                                   # at construction time, so the caller must
                                   # read .value AFTER materializing (the
                                   # resumable build does, per wave)
+    _ckpts: list | None = None    # batched builds: the per-batch
+                                  # checkpointed tables (overlaps is their
+                                  # union view) — unpersist frees each
 
     def agg_pandas(self) -> pd.DataFrame:
         """Reconstitute the xagg-shaped `wm.agg` frame (lists per polygon,
@@ -419,14 +431,17 @@ class WeightMap:
         best-effort for non-checkpointed overlap tables.  overlaps may be
         a derived view (normalization join) over the checkpointed table —
         _ckpt points at the DF whose blocks actually need freeing."""
-        target = self._ckpt if self._ckpt is not None else self.overlaps
-        try:
-            target._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
+        targets = (self._ckpts if self._ckpts is not None
+                   else [self._ckpt if self._ckpt is not None
+                         else self.overlaps])
+        for target in targets:
             try:
-                target.unpersist()
+                target._jdf.queryExecution().analyzed().rdd().unpersist(False)
             except Exception:
-                pass
+                try:
+                    target.unpersist()
+                except Exception:
+                    pass
 
 
 def split_antimeridian(pixels: DataFrame) -> DataFrame:
@@ -518,6 +533,21 @@ def _overlap_prep(spark: SparkSession, grid, polys: PolygonSet,
         # per-axis cap above is an upper bound on res, never a lower one)
         while res > 0 and _estimated_cover_cells(polys, res) > COVER_CELL_BUDGET:
             res -= 1
+        if res == 0 and _estimated_cover_cells(polys, 0) > COVER_CELL_BUDGET:
+            # the estimate floors at ~1 cell per ring, so this only
+            # happens for ring-count-dominated sets (~800k+ rings) where
+            # NO resolution fits the broadcast budget — proceeding would
+            # put every pixel and every polygon behind a couple of global
+            # cell ids (a broadcast-side cartesian).  pixel_overlaps
+            # batches the polygons before reaching here; direct callers
+            # (the resumable bucketed build hoists _overlap_prep) must
+            # batch the polygon set themselves.
+            raise ValueError(
+                f"_overlap_prep: polygon cover ({len(polys)} polygons) "
+                f"exceeds COVER_CELL_BUDGET={COVER_CELL_BUDGET} at every "
+                "resolution — split the PolygonSet into batches of at "
+                f"most ~{POLY_BATCH_MAX_RINGS} rings and combine the "
+                "weightmaps (pixel_overlaps does this automatically)")
     res = max(min(res, res_cap), 0)
 
     cover = polys.cell_cover_classified(res)
@@ -535,7 +565,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                    pixels: DataFrame | None = None,
                    raw_areas: bool = False,
                    pixels_have_weights: bool = False,
-                   _prep: tuple | None = None) -> WeightMap:
+                   _prep: tuple | None = None,
+                   _epsg: int | None = None) -> WeightMap:
     """Build the weightmap (facade, reference wrappers.py:10-104).
 
     grid: GridSpec or AxesGrid.  polys: PolygonSet.  weights_pdf: optional
@@ -564,6 +595,23 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     if not isinstance(grid, GridSpec):
         grid = grid.with_bounds()
     dlat_max, _, dlon_max, _ = _grid_spacing(grid)
+    if _prep is None and res is None and _cover_budget_unreachable(polys):
+        # ring-count-dominated polygon set: no resolution fits the cover
+        # in the broadcast budget (see POLY_BATCH_MAX_RINGS) — build in
+        # polygon batches and union, instead of letting the coarsening
+        # loop bottom out at a few global cells (a pixels x polygons
+        # cartesian through the broadcast join)
+        if raw_areas:
+            raise ValueError(
+                f"pixel_overlaps: {len(polys)} polygons exceed the cover "
+                "budget at every resolution and raw_areas=True cannot be "
+                "batched here (the resumable build buckets by PIXELS) — "
+                f"batch the PolygonSet into <= ~{POLY_BATCH_MAX_RINGS}-"
+                "ring subsets upstream and resume each separately")
+        return _pixel_overlaps_batched(
+            spark, grid, polys, weights_pdf=weights_pdf,
+            subset_bbox=subset_bbox, salt=salt, pixels=pixels,
+            pixels_have_weights=pixels_have_weights)
     if _prep is None:
         _prep = _overlap_prep(spark, grid, polys, res=res)
     res, df_cover = _prep
@@ -576,7 +624,7 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         pixels = pixel_geometry(spark, grid, weights_pdf=weights_pdf,
                                 num_partitions=nparts)
 
-    epsg = polys.pick_epsg()
+    epsg = polys.pick_epsg() if _epsg is None else _epsg
 
     # P2 bbox prefilter: pure predicate -> Catalyst pushes it into the scan.
     # Pad = half the (max) pixel extent per axis + the polygon edges' max
@@ -739,6 +787,88 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                      n_nonconvex_fallback=n_nonconvex,
                      _ckpt=ckpt if ckpt is not None else overlaps,
                      _accs=(acc_boundary, acc_nonconvex) if raw_areas else None)
+
+
+def _cover_budget_unreachable(polys) -> bool:
+    """True when no resolution can fit the polygon cover in
+    COVER_CELL_BUDGET: the per-ring estimate floors at exactly 1 cell
+    (bbox terms are clamped at 1 and a bbox never exceeds the globe), so
+    the res-0 estimate IS the total ring count — budget unreachable iff
+    the set has more rings than budget."""
+    return _estimated_cover_cells(polys, 0) > COVER_CELL_BUDGET
+
+
+def _plan_poly_batches(polys) -> list:
+    """Contiguous [lo, hi) polygon ranges of at most POLY_BATCH_MAX_RINGS
+    rings each (contiguous so batch-local poly_idx + lo reproduces the
+    global deterministic poly_idx, O2)."""
+    batches, lo, rings = [], 0, 0
+    for i, poly in enumerate(polys.rings):
+        nr = len(poly)
+        if rings and rings + nr > POLY_BATCH_MAX_RINGS:
+            batches.append((lo, i))
+            lo, rings = i, 0
+        rings += nr
+    batches.append((lo, len(polys.rings)))
+    return batches
+
+
+def _pixel_overlaps_batched(spark: SparkSession, grid, polys: PolygonSet,
+                            weights_pdf: pd.DataFrame | None,
+                            subset_bbox: bool, salt: int,
+                            pixels: DataFrame | None,
+                            pixels_have_weights: bool) -> WeightMap:
+    """pixel_overlaps for ring-count-dominated polygon sets (800k+ rings,
+    where no cell resolution fits the cover in the broadcast budget):
+    build per contiguous polygon batch — each batch gets its own
+    capture-safe cover, broadcast join, and refine closure (bounding BOTH
+    the broadcast size and the ring dict shipped to executors) — then
+    union.  Normalization (A1) is per-polygon, so batch-local rel_area
+    equals the unbatched result exactly; the global CRS pick (J2) is
+    pinned via _epsg so a latitudinally-narrow batch cannot pick a
+    different projection than the whole set would.  A batch with zero
+    overlap contributes no rows (J3's outer merge still yields NaN for
+    its polygons); NoOverlapError is raised only when EVERY batch is
+    empty, matching the unbatched contract."""
+    from ..options import get_options
+    epsg = polys.pick_epsg()
+    batches = _plan_poly_batches(polys)
+    if not get_options()["silent"]:
+        print(f"building overlaps in {len(batches)} polygon batches...")
+    parts, ckpts = [], []
+    n_rows = n_boundary = n_nonconvex = 0
+    has_w = weights_pdf is not None or (pixels is not None
+                                        and pixels_have_weights)
+    for lo, hi in batches:
+        sub = PolygonSet([polys.rings[i] for i in range(lo, hi)],
+                         polys.attrs.iloc[lo:hi].drop(columns="poly_idx")
+                         .reset_index(drop=True))
+        try:
+            wm = pixel_overlaps(spark, grid, sub, weights_pdf=weights_pdf,
+                                subset_bbox=subset_bbox, salt=salt,
+                                pixels=pixels,
+                                pixels_have_weights=pixels_have_weights,
+                                _epsg=epsg)
+        except NoOverlapError:
+            continue
+        parts.append(wm.overlaps.withColumn(
+            "poly_idx", (F.col("poly_idx") + F.lit(lo)).cast("long")))
+        ckpts.append(wm._ckpt if wm._ckpt is not None else wm.overlaps)
+        n_rows += wm.n_rows
+        n_boundary += wm.n_boundary_refined
+        n_nonconvex += wm.n_nonconvex_fallback
+    if not parts:
+        raise NoOverlapError(
+            "No `ds` grid cells overlapped with any polygon in `gdf_in`. "
+            "Check the input `ds` and `gdf_in`.")
+    overlaps = parts[0]
+    for p in parts[1:]:
+        overlaps = overlaps.unionByName(p)
+    return WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
+                     has_weights=has_w, n_rows=n_rows,
+                     n_boundary_refined=n_boundary,
+                     n_nonconvex_fallback=n_nonconvex,
+                     _ckpts=ckpts)
 
 
 # ---------------------------------------------------------------------------
