@@ -192,6 +192,34 @@ FROM rel
 """
 
 
+def q_pixel_overlaps_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 through the polygon-BATCHED build path (round-5): module budgets
+    are shrunk so the standard 8-polygon rect fixture is ring-count-
+    dominated (no resolution fits the cover in the broadcast budget) and
+    pixel_overlaps splits it into 3-ring batches — the regime where the
+    round-4 coarsening loop degenerated to a broadcast-side cartesian.
+    Batching may only change WHERE rows are computed, never a value, so
+    the result must match the same analytic oracle as the unbatched
+    build (SQL_PIXEL_OVERLAPS).  Budgets are restored before returning;
+    the per-batch normalization is already materialized (localCheckpoint)
+    at build time, so the returned plan does not depend on them."""
+    from .operators import overlaps as _ov
+    from .operators import pixel_overlaps
+    saved = (_ov.COVER_CELL_BUDGET, _ov.POLY_BATCH_MAX_RINGS)
+    _ov.COVER_CELL_BUDGET, _ov.POLY_BATCH_MAX_RINGS = 4, 3
+    try:
+        wm = pixel_overlaps(spark, QGRID, _qpolys())
+        # 12 polygons / 3-ring batches = 4 per-batch checkpoints
+        assert wm._ckpts is not None and len(wm._ckpts) == 4, \
+            "batched fixture did not take the batched path"
+    finally:
+        _ov.COVER_CELL_BUDGET, _ov.POLY_BATCH_MAX_RINGS = saved
+    return wm.overlaps.select(
+        "poly_idx", "pix_idx",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        F.round("rel_area", 7).alias("rel_area"))
+
+
 def q_aggregate_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/§2.8: full pipeline incl. image decode — area-weighted mean per
     (polygon, t) of the deterministic tile values."""
@@ -1520,6 +1548,7 @@ def all_queries():
     return {
         "pixel_overlaps_rect": q_pixel_overlaps_rect,
         "pixel_overlaps_skewed": q_pixel_overlaps_skewed,
+        "pixel_overlaps_batched": q_pixel_overlaps_batched,
         "pixel_overlaps_polar": q_pixel_overlaps_polar,
         "pixel_overlaps_irregular": q_pixel_overlaps_irregular,
         "aggregate_weighted_mean": q_aggregate_weighted_mean,
@@ -1567,6 +1596,7 @@ def all_oracle_sql():
     return {
         "pixel_overlaps_rect": SQL_PIXEL_OVERLAPS,
         "pixel_overlaps_skewed": SQL_PIXEL_OVERLAPS_SKEWED,
+        "pixel_overlaps_batched": SQL_PIXEL_OVERLAPS,
         "pixel_overlaps_polar": SQL_PIXEL_OVERLAPS_POLAR,
         "pixel_overlaps_irregular": _sql_pixel_overlaps_irregular(),
         "aggregate_weighted_mean": SQL_AGG_MEAN,
