@@ -290,3 +290,16 @@ def test_knn_shuffle_cover_path_matches_brute_force(spark, monkeypatch):
         "c_lat": [58.125, 71.25],
     })
     _run(spark, pgrid, pcenters, k=5, expect_epsg=_ell.EPSG_NORTH)
+
+
+def test_knn_duplicate_q_id_rejected(spark):
+    """Code-review r5: duplicate q_id used to be silently collapsed by a
+    dict lookup (arbitrary termination for the duplicates) and would now
+    crash the vectorized Series reindex — reject loudly instead."""
+    grid = GridSpec(lat_edge=0.0, lon_edge=0.0, dlat=1.0, dlon=1.0,
+                    nlat=4, nlon=4, tile_h=4, tile_w=4)
+    pixels = pixel_geometry(spark, grid).select("pix_idx", "lat", "lon")
+    centers = pd.DataFrame({"q_id": np.array([0, 0], dtype=np.int64),
+                            "c_lon": [1.0, 2.0], "c_lat": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="duplicate q_id"):
+        knn_pixels(spark, pixels, centers, k=2)

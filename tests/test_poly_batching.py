@@ -106,3 +106,20 @@ def test_unbatchable_paths_fail_fast(spark, monkeypatch):
     # direct _overlap_prep callers get the guidance error, not res 0
     with pytest.raises(ValueError, match="COVER_CELL_BUDGET"):
         _ov._overlap_prep(spark, GRID, polys)
+
+
+def test_single_polygon_over_budget_raises_not_recurses(spark, monkeypatch):
+    """Code-review r5: one polygon with more rings than the budget cannot
+    be split by batching — must raise the guidance error, not recurse
+    between pixel_overlaps and the batched builder forever.  Covers both
+    the whole-set case and a one-huge-polygon batch inside a larger set."""
+    monkeypatch.setattr(_ov, "COVER_CELL_BUDGET", 2)
+    monkeypatch.setattr(_ov, "POLY_BATCH_MAX_RINGS", 2)
+    hole1 = rect_ring(2.0, 2.0, 3.0, 3.0)[::-1]
+    hole2 = rect_ring(4.0, 4.0, 5.0, 5.0)[::-1]
+    big = [rect_ring(1.0, 1.0, 9.0, 9.0), hole1, hole2]   # 3 rings > budget
+    with pytest.raises(ValueError, match="single polygon"):
+        pixel_overlaps(spark, GRID, PolygonSet([big]))
+    with pytest.raises(ValueError, match="single polygon"):
+        pixel_overlaps(spark, GRID, PolygonSet(
+            [rect_ring(10.0, 10.0, 12.0, 12.0), big]))

@@ -331,3 +331,41 @@ def test_tile_layout_manifest_guards(spark, tmp_path):
         json.dump({"scheme": "xxhash64", "tile_buckets": 8}, f)
     with pytest.raises(ValueError, match="bucket scheme"):
         prefilter_images_bbox(back, GRID, *bbox, layout_path=p)
+
+
+def test_tile_layout_relative_path_and_ignore_mode(spark, tmp_path):
+    """Code-review r5: (1) a bare relative path (no '/') is a real
+    parquet table when no Iceberg runtime exists — its manifest must
+    resolve and the mixed-append guard must fire (the old guard treated
+    any '/'-free target as an Iceberg identifier and skipped both);
+    (2) mode='ignore' on an existing table skips the data write, so it
+    must NOT restamp the manifest with a layout the files were never
+    rewritten with.  Relative paths resolve against the shared
+    JVM==driver cwd, so the table is written under the test cwd and
+    cleaned up afterwards."""
+    import shutil
+
+    import pytest
+
+    from xagg_spark.io.tables import read_tile_layout
+
+    imgs = generate_spark(spark, GRID, ntime=1, fmt="raw32")
+    rel = "tmp_imgs_rel_layout_test"
+    try:
+        write_images(imgs, rel, mode="overwrite", tile_buckets=8)
+        assert read_tile_layout(rel) == {"scheme": "ty_mod",
+                                         "tile_buckets": 8}
+        with pytest.raises(ValueError, match="mixed bucket layouts"):
+            write_images(imgs, rel, mode="append", tile_buckets=16)
+
+        # ignore on an EXISTING table: no data write -> manifest untouched
+        write_images(imgs, rel, mode="ignore", tile_buckets=16)
+        assert read_tile_layout(rel) == {"scheme": "ty_mod",
+                                         "tile_buckets": 8}
+    finally:
+        shutil.rmtree(rel, ignore_errors=True)
+    # ignore on a NEW table: data written -> manifest recorded
+    p_new = str(tmp_path / "imgs_new")
+    write_images(imgs, p_new, mode="ignore", tile_buckets=4)
+    assert read_tile_layout(p_new) == {"scheme": "ty_mod",
+                                       "tile_buckets": 4}

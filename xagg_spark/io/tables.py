@@ -62,8 +62,12 @@ _TILE_SCHEME = "ty_mod"        # tile_bucket = ty % tile_buckets
 
 
 def read_tile_layout(target: str) -> dict | None:
-    """The layout manifest written by write_images (local paths only)."""
-    if "/" not in target or "://" in target:
+    """The layout manifest written by write_images (local paths only:
+    remote URIs are skipped, and an Iceberg table identifier simply never
+    exists as a local directory, so os.path handles every case — a bare
+    relative path like 'imgs' is a real parquet table when no Iceberg
+    runtime is present and MUST still resolve its manifest)."""
+    if "://" in target:
         return None
     p = os.path.join(target, "_tile_layout.json")
     if not os.path.exists(p):
@@ -105,8 +109,13 @@ def write_images(df: DataFrame, target: str, mode: str = "append",
            .createOrReplace() if mode == "overwrite"
          else df.writeTo(target).append())
         return
+    pre_exists = "://" not in target and os.path.exists(target)
     df.write.mode(mode).partitionBy("tile_bucket").parquet(target)
-    if "://" not in target:
+    # record the layout ONLY when this call actually (re)wrote data:
+    # SaveMode.Ignore skips the write when the table already exists, and
+    # stamping the requested layout over data written with a different
+    # one would make the manifest lie to the pruner (code-review r5)
+    if "://" not in target and not (mode == "ignore" and pre_exists):
         tmp = os.path.join(target, "_tile_layout.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"scheme": _TILE_SCHEME,

@@ -288,6 +288,15 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
     result back by q_id get a loud signal instead of silent row loss."""
     if len(centers) == 0:
         raise ValueError("knn_pixels: empty centers table")
+    if centers["q_id"].duplicated().any():
+        # q_id keys the whole expansion (confirmation counts, verified
+        # radii, the accepted-rows semi-join): duplicates used to be
+        # silently collapsed by a dict lookup, which made the duplicated
+        # queries' termination arbitrary — fail loud instead
+        dup = centers["q_id"][centers["q_id"].duplicated()].iloc[0]
+        raise ValueError(
+            f"knn_pixels: duplicate q_id values in centers (e.g. {dup}) "
+            "— q_id must uniquely identify each query")
     if epsg is None:
         epsg = _ell.pick_epsg(float(centers["c_lat"].min()),
                               float(centers["c_lat"].max()))
@@ -368,7 +377,7 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
 
 
 def _min_edge_distance_m(centers: pd.DataFrame, radius_deg: float,
-                         epsg: int) -> dict:
+                         epsg: int) -> pd.Series:
     """Projected distance from each center to the nearest boundary of the
     search region actually covered at this radius — the radius within which
     results are provably complete, as a pd.Series indexed by q_id.  A

@@ -608,6 +608,17 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                 "batched here (the resumable build buckets by PIXELS) — "
                 f"batch the PolygonSet into <= ~{POLY_BATCH_MAX_RINGS}-"
                 "ring subsets upstream and resume each separately")
+        if len(polys) == 1:
+            # a SINGLE polygon with more rings than the budget cannot be
+            # split by batching — without this the batched builder would
+            # recurse into the same one-polygon set forever
+            raise ValueError(
+                "pixel_overlaps: a single polygon has more rings "
+                f"({sum(len(p) for p in polys.rings)}) than "
+                f"COVER_CELL_BUDGET={COVER_CELL_BUDGET} — no cell "
+                "resolution fits its cover in the broadcast budget and "
+                "batching cannot split one polygon; simplify or split "
+                "the geometry upstream")
         return _pixel_overlaps_batched(
             spark, grid, polys, weights_pdf=weights_pdf,
             subset_bbox=subset_bbox, salt=salt, pixels=pixels,
@@ -794,8 +805,11 @@ def _cover_budget_unreachable(polys) -> bool:
     COVER_CELL_BUDGET: the per-ring estimate floors at exactly 1 cell
     (bbox terms are clamped at 1 and a bbox never exceeds the globe), so
     the res-0 estimate IS the total ring count — budget unreachable iff
-    the set has more rings than budget."""
-    return _estimated_cover_cells(polys, 0) > COVER_CELL_BUDGET
+    the set has more rings than budget.  Counted directly (O(n_polys)
+    list lengths, no per-ring bbox reductions — this runs on every
+    pixel_overlaps call); test_res0_estimate_is_ring_count pins the
+    equality with _estimated_cover_cells(polys, 0)."""
+    return sum(len(poly) for poly in polys.rings) > COVER_CELL_BUDGET
 
 
 def _plan_poly_batches(polys) -> list:
