@@ -357,6 +357,36 @@ def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"), "pix_idx")
 
 
+def q_knn_tiles_shuffle_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 through the SHUFFLE cover path (round-5 scale fix): the
+    broadcast budget is forced to 0 so every expansion iteration builds
+    its ring cover ON the cluster (JVM sequence/explode at the radius-
+    matched resolution) and equi-joins it without a broadcast — the path
+    knn_pixels takes at 10^6+ centers, where the round-4 coarsening loop
+    degenerated to a single-key cartesian.  The cover path may only
+    change HOW candidates are found, never the ranking, so the result
+    must match the same analytic oracle as the broadcast path (SQL_KNN).
+    The budget is restored before returning: the ranking materializes
+    inside knn_pixels (per-iteration eager localCheckpoints), so the
+    returned plan does not depend on it."""
+    from .operators import knn as _knn
+    from .operators.overlaps import pixel_geometry
+    pixels = pixel_geometry(spark, QGRID).select("pix_idx", "lat", "lon")
+    centers = pd.DataFrame({
+        "q_id": np.arange(NPOLY, dtype=np.int64),
+        "c_lon": [-18.0 + (i % 4) * 9.0 + 0.125 + 3.625 for i in range(NPOLY)],
+        "c_lat": [-9.0 + (i // 4) * 6.0 + 0.0625 + 2.625 for i in range(NPOLY)],
+    })
+    saved = _knn.COVER_ROW_BUDGET
+    _knn.COVER_ROW_BUDGET = 0
+    try:
+        out = _knn.knn_pixels(spark, pixels, centers, k=5)
+    finally:
+        _knn.COVER_ROW_BUDGET = saved
+    return out.select(F.col("q_id").cast("long").alias("q_id"),
+                      F.col("rank").cast("long").alias("rank"), "pix_idx")
+
+
 SQL_KNN = f"""
 WITH {PIX_CTE.strip()},
 ctr AS (
@@ -1559,6 +1589,7 @@ def all_queries():
         "aggregate_4d": q_aggregate_4d,
         "aggregate_resumed": q_aggregate_resumed,
         "knn_tiles": q_knn_tiles,
+        "knn_tiles_shuffle_cover": q_knn_tiles_shuffle_cover,
         "knn_tiles_polar": q_knn_tiles_polar,
         "knn_tiles_antimeridian": q_knn_tiles_antimeridian,
         "decode_bbox_stats": q_decode_bbox_stats,
@@ -1607,6 +1638,7 @@ def all_oracle_sql():
         "aggregate_4d": SQL_AGG_4D,
         "aggregate_resumed": SQL_AGG_MEAN,
         "knn_tiles": SQL_KNN,
+        "knn_tiles_shuffle_cover": SQL_KNN,
         "knn_tiles_polar": SQL_KNN_POLAR,
         "knn_tiles_antimeridian": _sql_knn_antimeridian(),
         "decode_bbox_stats": _sql_decode_bbox_stats(),
