@@ -285,7 +285,17 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
     fully ranked; a query whose rings held NO pixel at all by
     max_radius_deg is OMITTED from the output (no q_id row) — both cases
     emit a UserWarning listing the under-k q_ids, so callers joining the
-    result back by q_id get a loud signal instead of silent row loss."""
+    result back by q_id get a loud signal instead of silent row loss.
+
+    Scale bounds: the candidate join is distributed at any center count
+    (broadcast cover below COVER_ROW_BUDGET, cluster-built shuffle cover
+    past it — measured at 10^6 centers x 2.88M pixels), but the loop's
+    per-iteration bookkeeping (pending table, confirmation counts,
+    verified radii) is driver-side pandas/numpy, O(n_query) memory —
+    practical to ~10^7 centers.  Past that, split the centers into
+    batches and union the results: every query's k-NN set is independent
+    of every other query, so query-set batching is EXACT, not an
+    approximation."""
     if len(centers) == 0:
         raise ValueError("knn_pixels: empty centers table")
     if centers["q_id"].duplicated().any():
