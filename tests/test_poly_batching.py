@@ -123,3 +123,32 @@ def test_single_polygon_over_budget_raises_not_recurses(spark, monkeypatch):
     with pytest.raises(ValueError, match="single polygon"):
         pixel_overlaps(spark, GRID, PolygonSet(
             [rect_ring(10.0, 10.0, 12.0, 12.0), big]))
+
+
+def test_batched_build_threads_weights(spark, monkeypatch):
+    """The secondary weight grid must survive batching: every batch joins
+    the same (pix_idx, weight) table, and the unioned overlaps carry the
+    weight column with values identical to the unbatched build."""
+    polys = _six_polys()
+    wpdf = pd.DataFrame({
+        "pix_idx": np.arange(GRID.nlat * GRID.nlon, dtype=np.int64),
+        "weight": 0.25 + (np.arange(GRID.nlat * GRID.nlon) % 7) * 0.5,
+    })
+    want_wm = pixel_overlaps(spark, GRID, polys, weights_pdf=wpdf)
+    assert want_wm.has_weights
+    w = (want_wm.overlaps.select("poly_idx", "pix_idx", "rel_area", "weight")
+                 .toPandas().sort_values(["poly_idx", "pix_idx"])
+                 .reset_index(drop=True))
+    want_wm.unpersist()
+
+    monkeypatch.setattr(_ov, "COVER_CELL_BUDGET", 4)
+    monkeypatch.setattr(_ov, "POLY_BATCH_MAX_RINGS", 2)
+    got_wm = pixel_overlaps(spark, GRID, polys, weights_pdf=wpdf)
+    assert got_wm._ckpts is not None and got_wm.has_weights
+    g = (got_wm.overlaps.select("poly_idx", "pix_idx", "rel_area", "weight")
+               .toPandas().sort_values(["poly_idx", "pix_idx"])
+               .reset_index(drop=True))
+    assert g["pix_idx"].tolist() == w["pix_idx"].tolist()
+    assert np.allclose(g["rel_area"], w["rel_area"], rtol=0, atol=1e-12)
+    assert np.allclose(g["weight"], w["weight"], rtol=0, atol=0)
+    got_wm.unpersist()
