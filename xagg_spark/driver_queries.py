@@ -193,27 +193,20 @@ FROM rel
 
 
 def q_pixel_overlaps_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 through the polygon-BATCHED build path (round-5): module budgets
-    are shrunk so the standard 8-polygon rect fixture is ring-count-
-    dominated (no resolution fits the cover in the broadcast budget) and
-    pixel_overlaps splits it into 3-ring batches — the regime where the
-    round-4 coarsening loop degenerated to a broadcast-side cartesian.
-    Batching may only change WHERE rows are computed, never a value, so
-    the result must match the same analytic oracle as the unbatched
-    build (SQL_PIXEL_OVERLAPS).  Budgets are restored before returning;
-    the per-batch normalization is already materialized (localCheckpoint)
-    at build time, so the returned plan does not depend on them."""
-    from .operators import overlaps as _ov
+    """J1 through the polygon-BATCHED build path (round-5): the standard
+    12-polygon rect fixture is forced through 3-ring batches (the
+    explicit `_batch_max_rings` knob — no module-global mutation, so a
+    concurrently-running query can never observe a patched budget) — the
+    path the engine takes automatically in the ring-count-dominated
+    regime where the round-4 coarsening loop degenerated to a
+    broadcast-side cartesian.  Batching may only change WHERE rows are
+    computed, never a value, so the result must match the same analytic
+    oracle as the unbatched build (SQL_PIXEL_OVERLAPS)."""
     from .operators import pixel_overlaps
-    saved = (_ov.COVER_CELL_BUDGET, _ov.POLY_BATCH_MAX_RINGS)
-    _ov.COVER_CELL_BUDGET, _ov.POLY_BATCH_MAX_RINGS = 4, 3
-    try:
-        wm = pixel_overlaps(spark, QGRID, _qpolys())
-        # 12 polygons / 3-ring batches = 4 per-batch checkpoints
-        assert wm._ckpts is not None and len(wm._ckpts) == 4, \
-            "batched fixture did not take the batched path"
-    finally:
-        _ov.COVER_CELL_BUDGET, _ov.POLY_BATCH_MAX_RINGS = saved
+    wm = pixel_overlaps(spark, QGRID, _qpolys(), _batch_max_rings=3)
+    # 12 polygons / 3-ring batches = 4 per-batch checkpoints
+    assert wm._ckpts is not None and len(wm._ckpts) == 4, \
+        "batched fixture did not take the batched path"
     return wm.overlaps.select(
         "poly_idx", "pix_idx",
         F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
@@ -358,18 +351,17 @@ def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_tiles_shuffle_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 through the SHUFFLE cover path (round-5 scale fix): the
-    broadcast budget is forced to 0 so every expansion iteration builds
-    its ring cover ON the cluster (JVM sequence/explode at the radius-
-    matched resolution) and equi-joins it without a broadcast — the path
-    knn_pixels takes at 10^6+ centers, where the round-4 coarsening loop
-    degenerated to a single-key cartesian.  The cover path may only
-    change HOW candidates are found, never the ranking, so the result
-    must match the same analytic oracle as the broadcast path (SQL_KNN).
-    The budget is restored before returning: the ranking materializes
-    inside knn_pixels (per-iteration eager localCheckpoints), so the
-    returned plan does not depend on it."""
-    from .operators import knn as _knn
+    """J6 through the SHUFFLE cover path (round-5 scale fix): every
+    expansion iteration builds its ring cover ON the cluster (JVM
+    sequence/explode at the radius-matched resolution) and equi-joins it
+    without a broadcast — the path knn_pixels takes at 10^6+ centers,
+    where the round-4 coarsening loop degenerated to a single-key
+    cartesian.  Pinned with the explicit `_force_shuffle_cover` knob (no
+    module-global mutation, so a concurrently-running query can never
+    observe a patched budget).  The cover path may only change HOW
+    candidates are found, never the ranking, so the result must match
+    the same analytic oracle as the broadcast path (SQL_KNN)."""
+    from .operators.knn import knn_pixels
     from .operators.overlaps import pixel_geometry
     pixels = pixel_geometry(spark, QGRID).select("pix_idx", "lat", "lon")
     centers = pd.DataFrame({
@@ -377,12 +369,7 @@ def q_knn_tiles_shuffle_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_lon": [-18.0 + (i % 4) * 9.0 + 0.125 + 3.625 for i in range(NPOLY)],
         "c_lat": [-9.0 + (i // 4) * 6.0 + 0.0625 + 2.625 for i in range(NPOLY)],
     })
-    saved = _knn.COVER_ROW_BUDGET
-    _knn.COVER_ROW_BUDGET = 0
-    try:
-        out = _knn.knn_pixels(spark, pixels, centers, k=5)
-    finally:
-        _knn.COVER_ROW_BUDGET = saved
+    out = knn_pixels(spark, pixels, centers, k=5, _force_shuffle_cover=True)
     return out.select(F.col("q_id").cast("long").alias("q_id"),
                       F.col("rank").cast("long").alias("rank"), "pix_idx")
 

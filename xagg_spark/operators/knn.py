@@ -276,7 +276,8 @@ def _ring_candidates_shuffle(spark: SparkSession, pixels: DataFrame,
 def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
                k: int, radius_deg: float | None = None,
                max_radius_deg: float = 360.0,
-               epsg: int | None = None) -> DataFrame:
+               epsg: int | None = None,
+               _force_shuffle_cover: bool = False) -> DataFrame:
     """pixels: (pix_idx, lat, lon).  centers: pandas (q_id, c_lat, c_lon).
     Returns (q_id, rank, pix_idx, dist2) — rank 1..k by equal-area-CRS
     distance, ties on pix_idx.  epsg defaults to the J2 pick from the
@@ -317,7 +318,8 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
     from .similarity import _topk_skew_safe
     while len(pending):
         res = _ring_resolution(radius, len(pending))
-        if (len(pending) * _per_center_cells(radius, res)
+        if not _force_shuffle_cover and (
+                len(pending) * _per_center_cells(radius, res)
                 <= COVER_ROW_BUDGET):
             j = _ring_candidates(spark, pixels, pending, radius, res,
                                  epsg, wrap_lon)
@@ -325,7 +327,9 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
             # even MAX_COARSEN_LEVELS of coarsening can't fit the cover in
             # the broadcast budget (10^6+ pending centers): build the cover
             # on the cluster at the radius-MATCHED resolution and shuffle
-            # — coarser cells would only multiply candidate slop here
+            # — coarser cells would only multiply candidate slop here.
+            # (_force_shuffle_cover pins this path at any center count —
+            # oracle replays — without mutating the module budget.)
             j = _ring_candidates_shuffle(spark, pixels, pending, radius,
                                          _matched_resolution(radius),
                                          epsg, wrap_lon)

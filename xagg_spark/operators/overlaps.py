@@ -566,7 +566,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                    raw_areas: bool = False,
                    pixels_have_weights: bool = False,
                    _prep: tuple | None = None,
-                   _epsg: int | None = None) -> WeightMap:
+                   _epsg: int | None = None,
+                   _batch_max_rings: int | None = None) -> WeightMap:
     """Build the weightmap (facade, reference wrappers.py:10-104).
 
     grid: GridSpec or AxesGrid.  polys: PolygonSet.  weights_pdf: optional
@@ -595,12 +596,18 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     if not isinstance(grid, GridSpec):
         grid = grid.with_bounds()
     dlat_max, _, dlon_max, _ = _grid_spacing(grid)
-    if _prep is None and res is None and _cover_budget_unreachable(polys):
+    if _prep is None and res is None and (
+            _batch_max_rings is not None
+            or _cover_budget_unreachable(polys)):
         # ring-count-dominated polygon set: no resolution fits the cover
         # in the broadcast budget (see POLY_BATCH_MAX_RINGS) — build in
         # polygon batches and union, instead of letting the coarsening
         # loop bottom out at a few global cells (a pixels x polygons
-        # cartesian through the broadcast join)
+        # cartesian through the broadcast join).  _batch_max_rings forces
+        # the batched path with an explicit ring cap (oracle replays,
+        # callers that want bounded refine closures) WITHOUT mutating the
+        # module budgets — concurrency-safe, and the sub-builds run the
+        # normal path so no recursion is possible.
         if raw_areas:
             raise ValueError(
                 f"pixel_overlaps: {len(polys)} polygons exceed the cover "
@@ -608,10 +615,12 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                 "batched here (the resumable build buckets by PIXELS) — "
                 f"batch the PolygonSet into <= ~{POLY_BATCH_MAX_RINGS}-"
                 "ring subsets upstream and resume each separately")
-        if len(polys) == 1:
+        if len(polys) == 1 and _batch_max_rings is None:
             # a SINGLE polygon with more rings than the budget cannot be
             # split by batching — without this the batched builder would
-            # recurse into the same one-polygon set forever
+            # recurse into the same one-polygon set forever (an explicit
+            # _batch_max_rings is exempt: its sub-builds run the normal
+            # path, so a one-polygon "batch" cannot recurse)
             raise ValueError(
                 "pixel_overlaps: a single polygon has more rings "
                 f"({sum(len(p) for p in polys.rings)}) than "
@@ -622,7 +631,8 @@ def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
         return _pixel_overlaps_batched(
             spark, grid, polys, weights_pdf=weights_pdf,
             subset_bbox=subset_bbox, salt=salt, pixels=pixels,
-            pixels_have_weights=pixels_have_weights)
+            pixels_have_weights=pixels_have_weights,
+            max_rings=_batch_max_rings)
     if _prep is None:
         _prep = _overlap_prep(spark, grid, polys, res=res)
     res, df_cover = _prep
@@ -812,14 +822,16 @@ def _cover_budget_unreachable(polys) -> bool:
     return sum(len(poly) for poly in polys.rings) > COVER_CELL_BUDGET
 
 
-def _plan_poly_batches(polys) -> list:
-    """Contiguous [lo, hi) polygon ranges of at most POLY_BATCH_MAX_RINGS
-    rings each (contiguous so batch-local poly_idx + lo reproduces the
-    global deterministic poly_idx, O2)."""
+def _plan_poly_batches(polys, max_rings: int | None = None) -> list:
+    """Contiguous [lo, hi) polygon ranges of at most max_rings (default
+    POLY_BATCH_MAX_RINGS) rings each (contiguous so batch-local poly_idx
+    + lo reproduces the global deterministic poly_idx, O2)."""
+    if max_rings is None:
+        max_rings = POLY_BATCH_MAX_RINGS
     batches, lo, rings = [], 0, 0
     for i, poly in enumerate(polys.rings):
         nr = len(poly)
-        if rings and rings + nr > POLY_BATCH_MAX_RINGS:
+        if rings and rings + nr > max_rings:
             batches.append((lo, i))
             lo, rings = i, 0
         rings += nr
@@ -831,7 +843,8 @@ def _pixel_overlaps_batched(spark: SparkSession, grid, polys: PolygonSet,
                             weights_pdf: pd.DataFrame | None,
                             subset_bbox: bool, salt: int,
                             pixels: DataFrame | None,
-                            pixels_have_weights: bool) -> WeightMap:
+                            pixels_have_weights: bool,
+                            max_rings: int | None = None) -> WeightMap:
     """pixel_overlaps for ring-count-dominated polygon sets (800k+ rings,
     where no cell resolution fits the cover in the broadcast budget):
     build per contiguous polygon batch — each batch gets its own
@@ -846,7 +859,7 @@ def _pixel_overlaps_batched(spark: SparkSession, grid, polys: PolygonSet,
     empty, matching the unbatched contract."""
     from ..options import get_options
     epsg = polys.pick_epsg()
-    batches = _plan_poly_batches(polys)
+    batches = _plan_poly_batches(polys, max_rings=max_rings)
     if not get_options()["silent"]:
         print(f"building overlaps in {len(batches)} polygon batches...")
     parts, ckpts = [], []
