@@ -1,0 +1,119 @@
+"""Connected components, hash split, and n-gram containment."""
+
+import random
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from xagg_spark.operators.dedup import connected_components, ngram_containment
+from xagg_spark.operators.split import hash_split, split_thresholds
+
+
+def _uf_components(pairs, nodes):
+    """Ground truth: union-find, component = min node id."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def test_components_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(120))
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    truth = _uf_components(pairs, nodes)
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    uni = spark.createDataFrame([(n,) for n in nodes], "doc_id: long")
+    got = {r.node: r.component
+           for r in connected_components(pdf, nodes=uni).collect()}
+    assert got == truth
+
+
+def test_components_chain_converges_log_rounds(spark):
+    # a 300-node chain is the worst case for plain hash-min (300 rounds);
+    # pointer jumping must close it well under max_iter=15
+    n = 300
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    out = connected_components(pdf, max_iter=15).collect()
+    assert len(out) == n
+    assert {r.component for r in out} == {0}
+
+
+def test_components_singletons_and_no_universe(spark):
+    pdf = spark.createDataFrame([(5, 9)], "id_a: long, id_b: long")
+    # without a universe only pair members appear
+    got = {r.node: r.component for r in connected_components(pdf).collect()}
+    assert got == {5: 5, 9: 5}
+    uni = spark.createDataFrame([(i,) for i in range(12)], "id: long")
+    got = {r.node: r.component
+           for r in connected_components(pdf, nodes=uni).collect()}
+    assert got[5] == 5 and got[9] == 5
+    assert all(got[i] == i for i in range(12) if i != 9)
+
+
+def test_components_nonconvergence_raises(spark):
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                "id_a: long, id_b: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pdf, max_iter=1)
+
+
+def test_split_thresholds_portable_hex():
+    ths = split_thresholds([("train", 0.9), ("val", 0.05), ("test", 0.05)])
+    assert [n for n, _ in ths] == ["train", "val"]
+    assert all(len(t) == 8 and t == t.lower() for _, t in ths)
+    # normalized: weights that don't sum to 1 give the same cuts
+    assert ths == split_thresholds([("train", 18), ("val", 1), ("test", 1)])
+    with pytest.raises(ValueError):
+        split_thresholds([("a", 0.0), ("b", -0.1), ("c", 1.0)])
+
+
+def test_hash_split_proportions_disjoint_deterministic(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000          # exhaustive + disjoint
+    assert abs(counts["train"] / 20000 - 0.9) < 0.01
+    assert abs(counts["val"] / 20000 - 0.05) < 0.005
+    # deterministic under repartitioning
+    a = hash_split(df, "doc_id").orderBy("doc_id").collect()
+    b = hash_split(df.repartition(13), "doc_id").orderBy("doc_id").collect()
+    assert [r.split for r in a] == [r.split for r in b]
+    # salt redraws: some rows must move
+    c = hash_split(df, "doc_id", salt="other").orderBy("doc_id").collect()
+    assert [r.split for r in a] != [r.split for r in c]
+
+
+def test_hash_split_needs_two_splits(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="two splits"):
+        hash_split(df, "doc_id", weights=[("all", 1.0)])
+
+
+def test_ngram_containment_hand_checked(spark):
+    train = spark.createDataFrame(
+        [(1, "abcdef"), (2, "zzzzz")], "doc_id: long, t: string")
+    ev = spark.createDataFrame([(9, "abcdxx")], "doc_id: long, t: string")
+    rows = {r.doc_id: r for r in
+            ngram_containment(train, ev, "t", "doc_id").collect()}
+    # doc 1 grams: abcd bcde cdef; eval grams: abcd bcdx cdxx -> 1 hit
+    assert rows[1].n_grams == 3 and rows[1].n_hit == 1
+    assert rows[1].containment == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[2].n_hit == 0 and rows[2].containment == 0.0

@@ -1080,6 +1080,93 @@ WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.2 - 1e-12
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: LSH candidate pairs -> transitive connected
+    components (hash-min + pointer jumping) -> (doc_id, component) where
+    component = min doc_id of the cluster; singletons map to themselves.
+    The oracle recomputes the same pairs in SQL and closes them with a
+    recursive CTE."""
+    from .operators.dedup import (connected_components, lsh_candidate_pairs,
+                                  minhash_signatures)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.withColumn("text2", F.substring("text", 1, 24))
+    sigs = minhash_signatures(keyed, "text2", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({SQL_LSH}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node
+"""
+
+
+_SPLIT_WEIGHTS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+_SPLIT_SALT = "r5"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment keyed on
+    md5(doc_id || salt) — shuffle-free, engine-portable (the oracle
+    recomputes the identical hex-prefix comparison)."""
+    from .operators.split import hash_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (hash_split(docs, "doc_id", weights=_SPLIT_WEIGHTS,
+                       salt=_SPLIT_SALT)
+            .select("doc_id", "split"))
+
+
+def _sql_hash_split() -> str:
+    from .operators.split import split_thresholds
+    h = f"substr(md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'), 1, 8)"
+    cases = " ".join(f"WHEN {h} < '{thr}' THEN '{name}'"
+                     for name, thr in split_thresholds(_SPLIT_WEIGHTS))
+    return (f"SELECT doc_id, CASE {cases} ELSE '{_SPLIT_WEIGHTS[-1][0]}' END "
+            f"AS split FROM documents")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination check: per training document, the
+    fraction of its distinct 4-grams that occur anywhere in the eval
+    subset (doc_id % 7 == 0)."""
+    from .operators.dedup import ngram_containment
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("t", F.substring("text", 1, 80)))
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    return ngram_containment(train, ev, "t", "doc_id")
+
+
+SQL_CONTAMINATION = """
+WITH t AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents WHERE doc_id % 7 <> 0),
+e AS (SELECT substr(text, 1, 80) AS t FROM documents WHERE doc_id % 7 = 0),
+g AS (
+  SELECT DISTINCT doc_id, substr(t.t, CAST(gs.g AS INT), 4) AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(length(t.t) - 3, 1))) AS g) gs
+),
+eg AS (
+  SELECT DISTINCT substr(e.t, CAST(gs.g AS INT), 4) AS gram
+  FROM e, LATERAL (SELECT unnest(generate_series(1, greatest(length(e.t) - 3, 1))) AS g) gs
+)
+SELECT g.doc_id, count(*) AS n_grams, count(eg.gram) AS n_hit,
+       round(CAST(count(eg.gram) AS DOUBLE) / count(*), 6) AS containment
+FROM g LEFT JOIN eg ON g.gram = eg.gram
+GROUP BY g.doc_id
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1597,6 +1684,9 @@ def all_queries():
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
+        "hash_split": q_hash_split,
+        "contamination": q_contamination,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1646,6 +1736,9 @@ def all_oracle_sql():
         "doc_fingerprint": SQL_FINGERPRINT,
         "minhash_signatures": SQL_MINHASH,
         "dedup_minhash_lsh": SQL_LSH,
+        "dedup_components": _sql_dedup_components(),
+        "hash_split": _sql_hash_split(),
+        "contamination": SQL_CONTAMINATION,
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN,

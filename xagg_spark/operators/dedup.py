@@ -150,3 +150,101 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                          .otherwise(F.lit(0).cast("long")))
             .groupBy(id_col)
             .agg(F.sum("bitval").alias("simhash")))
+
+
+def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
+                         id_col_b: str = "id_b",
+                         nodes: DataFrame | None = None,
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected pair list: (node, component)
+    where component is the MINIMUM node id in the node's component.
+
+    This is the clustering step a dedup pipeline needs after
+    `lsh_candidate_pairs` (LSH emits pairwise near-dup evidence; keeping
+    one document per *transitive* cluster requires components, not pairs).
+
+    Algorithm: hash-min label propagation with pointer jumping —
+    each round every node takes the min of its own label and its
+    neighbors' labels, then labels are compressed one hop
+    (comp(v) <- comp(comp(v))).  The jump step makes convergence
+    O(log diameter) rounds instead of O(diameter), so a pathological
+    chain of 10^6 near-dups still terminates in ~20 rounds; dedup
+    clusters in practice (dense, tiny diameter) converge in 2-3.
+    Every step is a key-partitioned join/groupBy — no driver-side
+    graph state, so the corpus can be 10^9 documents.  Lineage is cut
+    with localCheckpoint each round (the loop would otherwise stack
+    O(rounds) shuffles into one plan).
+
+    nodes: optional single-column DataFrame of the full node universe —
+    ids that appear in no pair become singleton components of themselves.
+    Without it, only ids present in `pairs` are emitted.
+
+    Returns DataFrame["node", "component"].
+    """
+    a = pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
+    b = pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst"))
+    edges = a.unionByName(b).distinct().localCheckpoint(eager=True)
+
+    lab = edges.select(F.col("src").alias("node")).distinct()
+    if nodes is not None:
+        uni = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        lab = lab.unionByName(uni).distinct()
+    lab = lab.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # propagate: min label over the in-neighborhood
+        nb = (edges.join(lab, edges.src == lab.node)
+                   .groupBy("dst").agg(F.min("component").alias("nb_min")))
+        new = (lab.join(nb, lab.node == nb.dst, "left")
+                  .select("node",
+                          F.least("component", F.coalesce("nb_min", "component"))
+                           .alias("component")))
+        # pointer jump: comp(v) <- comp(comp(v))
+        m = new.select(F.col("node").alias("m_node"),
+                       F.col("component").alias("m_comp"))
+        new = (new.join(m, new.component == m.m_node, "left")
+                  .select("node",
+                          F.coalesce("m_comp", "component").alias("component"))
+                  .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                      .join(lab.alias("o"), "node")
+                      .filter(F.col("n.component") != F.col("o.component"))
+                      .count())
+        lab = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    return lab
+
+
+def ngram_containment(df: DataFrame, eval_df: DataFrame, text_col: str,
+                      id_col: str, n: int = 4) -> DataFrame:
+    """Eval-set contamination score per document: the fraction of a
+    document's DISTINCT character n-grams that also occur anywhere in
+    `eval_df`'s text.  The standard train/eval decontamination check for
+    LLM corpora: containment near 1.0 means the training document leaks
+    an eval document (or vice versa).
+
+    Scale shape: one equi-join on the gram string between the corpus'
+    exploded distinct grams and the (much smaller) eval gram set —
+    Catalyst broadcasts the eval side when it fits, otherwise it is a
+    plain shuffle join on a high-cardinality key.  No pairwise doc×doc
+    work (contrast `ngram_jaccard_pairs`).
+
+    Returns (id_col, n_grams, n_hit, containment) — containment rounded
+    to 6 places.
+    """
+    grams = df.select(F.col(id_col),
+                      F.explode(F.array_distinct(_shingles(text_col, n)))
+                       .alias("g"))
+    eg = (eval_df.select(F.explode(_shingles(text_col, n)).alias("g"))
+                 .distinct()
+                 .withColumn("hit", F.lit(1)))
+    return (grams.join(eg, "g", "left")
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.count("hit").alias("n_hit"))
+                 .withColumn("containment",
+                             F.round(F.col("n_hit") / F.col("n_grams"), 6)))
