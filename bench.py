@@ -483,7 +483,23 @@ def run():
                                            q_knn_tiles, q_simhash,
                                            q_topk_per_group,
                                            q_window_normalize)
+
+    def _q_components_uncapped(spark, sf_dir):
+        # the oracle-gated dedup_components query caps at doc_id < 1000 to
+        # bound the DuckDB closure; the bench runs the FULL corpus (sf0.1:
+        # 317k LSH pairs collapsing into one 4991-doc component — worst
+        # case for label propagation: max rounds, densest neighborhoods)
+        from xagg_spark.operators.dedup import (connected_components,
+                                                lsh_candidate_pairs,
+                                                minhash_signatures)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        keyed = docs.withColumn("text2", FQ.substring("text", 1, 24))
+        sigs = minhash_signatures(keyed, "text2", "doc_id")
+        return connected_components(lsh_candidate_pairs(sigs, "doc_id"),
+                                    nodes=docs.select("doc_id"))
+
     for name, fn in [("window_normalize", q_window_normalize),
+                     ("dedup_components", _q_components_uncapped),
                      ("topk_per_group", q_topk_per_group),
                      ("minhash_lsh", q_dedup_minhash_lsh),
                      ("simhash", q_simhash),

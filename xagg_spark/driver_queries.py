@@ -1085,10 +1085,18 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (hash-min + pointer jumping) -> (doc_id, component) where
     component = min doc_id of the cluster; singletons map to themselves.
     The oracle recomputes the same pairs in SQL and closes them with a
-    recursive CTE."""
+    recursive CTE.
+
+    Capped at doc_id < 1000: at the sf0.01 gate every document
+    qualifies (full-strength check); at larger sf the cap bounds the
+    oracle's transitive-closure cost, which is Sum(cluster_size^2) rows
+    — the recursive CTE materializes every (node, reachable-min) pair,
+    ~25M rows for sf0.1's single 4991-doc prefix cluster.  The UNCAPPED
+    Spark path is exercised by the `dedup_components` bench entry."""
     from .operators.dedup import (connected_components, lsh_candidate_pairs,
                                   minhash_signatures)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 1000))
     keyed = docs.withColumn("text2", F.substring("text", 1, 24))
     sigs = minhash_signatures(keyed, "text2", "doc_id")
     pairs = lsh_candidate_pairs(sigs, "doc_id")
@@ -1097,15 +1105,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_components() -> str:
+    # minhash signatures are per-document, so filtering the PAIRS to the
+    # capped id range yields exactly the pairs of the capped corpus
     return f"""
-WITH RECURSIVE pairs AS ({SQL_LSH}),
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({SQL_LSH}) WHERE id_a < 1000 AND id_b < 1000
+),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
 reach(node, m) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
   UNION
   SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
 )
