@@ -1149,6 +1149,69 @@ def _sql_hash_split() -> str:
             f"AS split FROM documents")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing assignment: per document, the context
+    window (chunk) its first token lands in and the offset inside it,
+    over per-source shard streams with a 512-token budget."""
+    from .operators.pack import pack_sequences
+    from .operators.text import token_count
+    docs = token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return (pack_sequences(docs, "doc_id", "n_tokens", 512, "source")
+            .select("doc_id", "source", "chunk", "offset"))
+
+
+SQL_PACK = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM t
+)
+SELECT doc_id, source, cum_prev // 512 AS chunk, cum_prev % 512 AS offset
+FROM c
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text salted with deterministic synthetic PII (the
+    corpus itself contains none — the injection makes the redaction
+    observable; both engines build the identical salted string)."""
+    from .operators.text import redact_pii
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("text_p", F.concat(
+                F.substring("text", 1, 40),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org or 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+                F.lit(" ip 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"))))
+    return (redact_pii(docs, "text_p")
+            .select("doc_id", "redacted", "n_redacted_chars"))
+
+
+def _sql_redact_pii() -> str:
+    from .operators.text import PII_PATTERNS
+    expr = """substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@mail.example.org or 555-010-'
+        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+        || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"""
+    red = expr
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {red} AS redacted, "
+            f"CAST(length({expr}) - length({red}) AS BIGINT) "
+            f"AS n_redacted_chars FROM documents")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination check: per training document, the
     fraction of its distinct 4-grams that occur anywhere in the eval
@@ -1699,6 +1762,8 @@ def all_queries():
         "dedup_components": q_dedup_components,
         "hash_split": q_hash_split,
         "contamination": q_contamination,
+        "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1751,6 +1816,8 @@ def all_oracle_sql():
         "dedup_components": _sql_dedup_components(),
         "hash_split": _sql_hash_split(),
         "contamination": SQL_CONTAMINATION,
+        "pack_sequences": SQL_PACK,
+        "redact_pii": _sql_redact_pii(),
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN,

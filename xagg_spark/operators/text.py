@@ -87,3 +87,32 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     key = F.lower(F.substring(F.col(text_col), 1, 64))
     return df.withColumn(
         out_col, F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"))
+
+
+# (name, regex, replacement) — applied in order; patterns restricted to a
+# dialect subset identical in Java regex (Spark) and RE2 (DuckDB): no
+# backrefs, no lookaround, explicit character classes only
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+     "<EMAIL>"),
+    ("ssn", r"[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]", "<SSN>"),
+    ("phone", r"[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]",
+     "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Masks common PII shapes (emails, SSNs, phone numbers, IPv4) with
+    typed placeholder tokens — the standard scrub pass before a corpus
+    ships to training.  Pure JVM regexp_replace chain (replace-all), no
+    Python; ordering matters (SSN before the 3-3-4 phone shape) and is
+    fixed by PII_PATTERNS.  Adds `out_col` plus `n_redacted_chars`."""
+    c = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return (df.withColumn(out_col, c)
+              .withColumn("n_redacted_chars",
+                          (F.length(text_col) - F.length(out_col)
+                           ).cast("long")))
