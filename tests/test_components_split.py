@@ -117,3 +117,8 @@ def test_ngram_containment_hand_checked(spark):
     assert rows[1].n_grams == 3 and rows[1].n_hit == 1
     assert rows[1].containment == pytest.approx(1 / 3, abs=1e-6)
     assert rows[2].n_hit == 0 and rows[2].containment == 0.0
+
+
+def test_split_thresholds_rejects_negative_last_weight():
+    with pytest.raises(ValueError, match="negative"):
+        split_thresholds([("a", 0.5), ("b", 0.6), ("c", -0.1)])

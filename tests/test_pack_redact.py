@@ -49,3 +49,17 @@ def test_redact_pii_is_identity_on_clean_text(spark):
                                "doc_id: long, text: string")
     r = redact_pii(df).collect()[0]
     assert r.redacted == r.text and r.n_redacted_chars == 0
+
+
+def test_pack_sequences_reserved_column_raises(spark):
+    df = spark.createDataFrame([(1, "A", 4, 0)],
+                               "doc_id: long, src: string, toks: long, "
+                               "_cum_prev: long")
+    with pytest.raises(ValueError, match="_cum_prev"):
+        pack_sequences(df, "doc_id", "toks", 10, "src")
+
+
+def test_redact_pii_same_out_col_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="out_col"):
+        redact_pii(df, "text", out_col="text")

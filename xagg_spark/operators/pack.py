@@ -28,6 +28,9 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
     concat-then-chunk semantics of pretraining packing."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if "_cum_prev" in df.columns:
+        raise ValueError("input already has a _cum_prev column "
+                         "(reserved by pack_sequences)")
     w = (Window.partitionBy(shard_col).orderBy(id_col)
                .rowsBetween(Window.unboundedPreceding, -1))
     cum_prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))

@@ -29,14 +29,15 @@ def split_thresholds(weights: list[tuple[str, float]]) -> list[tuple[str, str]]:
     a row belongs to the first split whose threshold its hash prefix is
     strictly below; the last split takes the remainder.  Shared with the
     SQL oracle so both engines embed bit-identical constants."""
+    for name, w in weights:
+        if w < 0:
+            raise ValueError(f"negative split weight for {name!r}")
     total = sum(w for _, w in weights)
     if total <= 0:
         raise ValueError("split weights must sum to a positive value")
     out = []
     cum = 0.0
     for name, w in weights[:-1]:
-        if w < 0:
-            raise ValueError(f"negative split weight for {name!r}")
         cum += w / total
         out.append((name, format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1),
                                  "08x")))

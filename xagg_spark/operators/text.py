@@ -108,7 +108,11 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     typed placeholder tokens — the standard scrub pass before a corpus
     ships to training.  Pure JVM regexp_replace chain (replace-all), no
     Python; ordering matters (SSN before the 3-3-4 phone shape) and is
-    fixed by PII_PATTERNS.  Adds `out_col` plus `n_redacted_chars`."""
+    fixed by PII_PATTERNS.  Adds `out_col` plus `n_redacted_chars` (net
+    chars removed; negative when a placeholder outgrows its match)."""
+    if out_col == text_col:
+        raise ValueError("out_col must differ from text_col "
+                         "(n_redacted_chars compares both)")
     c = F.col(text_col)
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
