@@ -1242,6 +1242,54 @@ GROUP BY g.doc_id
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the events stream: per-user
+    0-based session index with a 1-hour inactivity gap (boundary rule
+    diff >= gap, matching F.session_window); exact integer-microsecond
+    arithmetic on both engines."""
+    from .operators.sessions import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (sessionize(ev, "user_id", "ts", 3600.0,
+                       order_cols=("event_id",))
+            .select("event_id", "user_id", "session_idx"))
+
+
+SQL_SESSIONIZE = """
+WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+m AS (
+  SELECT event_id, user_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w >= 3600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+FROM m
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: fraction of character
+    3-grams that are repeats."""
+    from .operators.text import repetition_ratio
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_ratio(docs, "text", "doc_id", n=3)
+
+
+SQL_REPETITION = """
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(gs.g AS INT), 3) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS g) gs
+)
+SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+       round(1 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS rep_ratio
+FROM g GROUP BY doc_id
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1764,6 +1812,8 @@ def all_queries():
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
+        "sessionize": q_sessionize,
+        "repetition_ratio": q_repetition_ratio,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1818,6 +1868,8 @@ def all_oracle_sql():
         "contamination": SQL_CONTAMINATION,
         "pack_sequences": SQL_PACK,
         "redact_pii": _sql_redact_pii(),
+        "sessionize": SQL_SESSIONIZE,
+        "repetition_ratio": SQL_REPETITION,
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN,

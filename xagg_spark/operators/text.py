@@ -120,3 +120,21 @@ def redact_pii(df: DataFrame, text_col: str = "text",
               .withColumn("n_redacted_chars",
                           (F.length(text_col) - F.length(out_col)
                            ).cast("long")))
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Intra-document repetition signal (Gopher-style quality rule): the
+    fraction of a document's character n-grams that are repeats,
+    1 - distinct/total.  Boilerplate and looping generations score high.
+    One explode + per-doc aggregate — map-side combinable, no joins.
+    Returns (id_col, n_grams, n_distinct, rep_ratio)."""
+    from .dedup import _shingles
+    grams = df.select(F.col(id_col),
+                      F.explode(_shingles(text_col, n)).alias("g"))
+    return (grams.groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.countDistinct("g").alias("n_distinct"))
+                 .withColumn("rep_ratio",
+                             F.round(1 - F.col("n_distinct")
+                                     / F.col("n_grams"), 6)))
