@@ -88,3 +88,17 @@ def test_repetition_ratio_hand_checked(spark):
     assert rows[1].n_grams == 2 and rows[1].n_distinct == 1
     assert rows[1].rep_ratio == pytest.approx(0.5)
     assert rows[2].rep_ratio == 0.0
+
+
+def test_sessionize_plan_single_exchange_and_sort(spark):
+    # both window passes (lag, running sum) must ride ONE hash exchange
+    # and ONE per-key sort — a second exchange or sort here would double
+    # the shuffle cost of every sessionization at scale
+    df = spark.createDataFrame([(1, 7, _ts(0))],
+                               "event_id: long, user_id: long, "
+                               "ts: timestamp")
+    out = sessionize(df, "user_id", "ts", 3600.0, order_cols=("event_id",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
+    assert plan.count("Window") == 2, plan

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from xagg_spark.grid import GridSpec
@@ -280,3 +281,62 @@ def test_stream_dedup_entrypoint_checks_marker_before_starting(spark, tmp_path):
     q.awaitTermination(120)
     with pytest.raises(ValueError, match="cannot resume across a mode switch"):
         stream_dedup_exact(spark, str(src), out, ck, n_groups=2, state="bloom")
+
+
+def test_stream_sessions_watermark_and_batch_agreement(spark, tmp_path):
+    """Session windows with a watermark: a session's row emits once the
+    watermark passes its close, with the merged extent and count; a late
+    event behind the watermark is dropped; and the emitted per-user
+    session COUNTS agree with the batch gaps-and-islands sessionize at
+    the same gap (the two share the half-open extension rule)."""
+    from xagg_spark.operators.sessions import sessionize
+    from xagg_spark.streaming import stream_sessions
+
+    src = tmp_path / "se_in"
+    out = str(tmp_path / "se_out")
+    ck = str(tmp_path / "se_ck")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def _wave(name, ids, users, ts, vals):
+        pd.DataFrame({"event_id": ids, "ts": ts, "user_id": users,
+                      "event_type": ["view"] * len(ids),
+                      "value": vals}).to_parquet(
+            src / name, coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        q = stream_sessions(spark, str(src), out, ck, gap="1 hour")
+        q.awaitTermination(180)
+
+    # wave 1: user 7 has two sessions (10:00+10:20 merge; 12:30 is its
+    # own — gap 70min >= 1h); user 8 one session at 10:05
+    _wave("w1.parquet", [1, 2, 3, 10], [7, 7, 7, 8],
+          [t0, t0 + pd.Timedelta(minutes=20),
+           t0 + pd.Timedelta(minutes=150), t0 + pd.Timedelta(minutes=5)],
+          [1.0, 2.0, 4.0, 8.0])
+    # wave 2: an event 8h later -> watermark 16:00, all wave-1 sessions
+    # (closes 11:20 / 13:30 / 11:05) finalize and emit
+    _wave("w2.parquet", [20], [9], [t0 + pd.Timedelta(hours=8)], [16.0])
+    # wave 3: a LATE event back inside user 7's finalized first session
+    _wave("w3.parquet", [30], [7], [t0 + pd.Timedelta(minutes=10)],
+          [100.0])
+
+    got = spark.read.parquet(out).toPandas()
+    # only the three finalized wave-1 sessions (user 9's is in flight;
+    # the late event was dropped, not emitted or merged)
+    assert len(got) == 3
+    key = got.set_index(["user_id", "session_start"]).sort_index()
+    s1 = key.loc[(7, t0)]
+    assert int(s1["n_events"]) == 2 and float(s1["sum_value"]) == 3.0
+    assert s1["session_end"] == t0 + pd.Timedelta(minutes=80)  # 10:20+1h
+    assert int(key.loc[(7, t0 + pd.Timedelta(minutes=150)), "n_events"]) == 1
+    assert int(key.loc[(8, t0 + pd.Timedelta(minutes=5)), "n_events"]) == 1
+
+    # batch agreement on the non-late corpus: same per-user session count
+    ev = spark.read.parquet(str(src / "w1.parquet"),
+                            str(src / "w2.parquet"))
+    batch = (sessionize(ev, "user_id", "ts", 3600.0,
+                        order_cols=("event_id",))
+             .groupBy("user_id").agg(F.countDistinct("session_idx")
+                                     .alias("n")).toPandas()
+             .set_index("user_id")["n"].to_dict())
+    assert batch == {7: 2, 8: 1, 9: 1}   # user 9 pending in stream only

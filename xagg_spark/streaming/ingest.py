@@ -67,6 +67,39 @@ def stream_events_hourly(spark: SparkSession, source_dir: str, out_dir: str,
             .start())
 
 
+def stream_sessions(spark: SparkSession, source_dir: str, out_dir: str,
+                    checkpoint_dir: str, gap: str = "1 hour",
+                    watermark: str = "2 hours",
+                    max_files_per_trigger: int = 1):
+    """Event-time SESSION windows with a watermark: the streaming twin of
+    the batch `operators.sessions.sessionize`.  Both use the same
+    half-open extension rule (an event extends its session to [ts,
+    ts+gap); the next event merges iff it lands strictly inside), so
+    per-key session counts agree between the two — pinned in tests from
+    both directions.  Append output mode: a session's single row
+    (start/end/n_events/sum_value) is emitted only once the watermark
+    passes its close, and events later than `watermark` behind the max
+    seen ts are dropped.  State per in-flight session is one merged
+    window — constant per session, independent of corpus size.  Returns
+    the StreamingQuery."""
+    ev = (spark.readStream.schema(EVENT_SCHEMA)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(source_dir))
+    agg = (ev.withWatermark("ts", watermark)
+             .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("sum_value"))
+             .select(F.col("win.start").alias("session_start"),
+                     F.col("win.end").alias("session_end"),
+                     "user_id", "n_events", "sum_value"))
+    return (agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_aggregate(spark: SparkSession, source_dir: str, grid: GridSpec,
                      wm, out_dir: str, checkpoint_dir: str,
                      max_files_per_trigger: int = 8):
