@@ -7,7 +7,10 @@ import pytest
 import pyspark.sql.functions as F
 
 from xagg_spark.operators.dedup import connected_components, ngram_containment
-from xagg_spark.operators.split import hash_split, split_thresholds
+from xagg_spark.operators.split import (hash_split, mixture_rates,
+                                        mixture_sample,
+                                        mixture_thresholds,
+                                        split_thresholds)
 
 
 def _uf_components(pairs, nodes):
@@ -122,3 +125,79 @@ def test_ngram_containment_hand_checked(spark):
 def test_split_thresholds_rejects_negative_last_weight():
     with pytest.raises(ValueError, match="negative"):
         split_thresholds([("a", 0.5), ("b", 0.6), ("c", -0.1)])
+
+
+def test_mixture_rates_exact_arithmetic():
+    # N = min(100/.5, 50/.5) = 100 -> a keeps half, b keeps all
+    r = mixture_rates({"a": 100, "b": 50}, {"a": 0.5, "b": 0.5})
+    assert r == {"a": 0.5, "b": 1.0}
+    # budget caps the total: N=60 -> a 30/100, b 30/50
+    r = mixture_rates({"a": 100, "b": 50}, {"a": 0.5, "b": 0.5}, budget=60)
+    assert r == pytest.approx({"a": 0.3, "b": 0.6})
+    # unnormalized target weights normalize; zero-weight source -> 0.0
+    r = mixture_rates({"a": 10, "b": 10, "c": 99}, {"a": 3.0, "b": 1.0,
+                                                    "c": 0.0})
+    assert r["c"] == 0.0 and r["a"] == pytest.approx(1.0)
+    assert r["b"] == pytest.approx(10 / 30)
+
+
+def test_mixture_rates_validates():
+    with pytest.raises(ValueError, match="absent from counts"):
+        mixture_rates({"a": 10}, {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError, match="negative"):
+        mixture_rates({"a": 10}, {"a": -1.0})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_rates({"a": 10}, {"a": 0.0})
+    with pytest.raises(ValueError, match="budget"):
+        mixture_rates({"a": 10}, {"a": 1.0}, budget=0)
+    with pytest.raises(ValueError, match="empty"):
+        mixture_rates({"a": 10}, {})
+
+
+def test_mixture_thresholds_rate_one_is_keep_all_not_9_hex_chars():
+    # rate 1.0 MUST NOT become the 9-char '100000000': an 8-char hash
+    # prefix compares lexicographically ('f...' > '1...') and would
+    # wrongly drop ~15/16 of the source
+    assert mixture_thresholds({"a": 1.0}) == [("a", None)]
+    assert mixture_thresholds({"a": 0.5}) == [("a", "80000000")]
+    with pytest.raises(ValueError, match="outside"):
+        mixture_thresholds({"a": 1.5})
+
+
+def test_mixture_sample_proportions_branches_determinism(spark):
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}   # d absent -> dropped
+    got = mixture_sample(df, "source", rates, "doc_id",
+                         salt="s1").toPandas()
+    by = got.groupby("source").size().to_dict()
+    assert by.get("a") == 1000                      # keep-all branch
+    assert by.get("c") is None and "d" not in by    # zero rate + no rate
+    assert 400 < by["b"] < 600                      # ~0.5 of 1000
+    # deterministic under repartitioning, and salt redraws
+    again = mixture_sample(df.repartition(13), "source", rates, "doc_id",
+                           salt="s1").toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    redrawn = mixture_sample(df, "source", rates, "doc_id",
+                             salt="s2").toPandas()
+    assert sorted(got["doc_id"]) != sorted(redrawn["doc_id"])
+    # map-only: the physical plan carries no exchange
+    plan = (mixture_sample(df, "source", rates, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_rates_feed_sample_end_to_end(spark):
+    # counts -> rates -> sample: realized mixture tracks the target
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    counts = {r["source"]: r["n"] for r in
+              df.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert counts == {"big": 4500, "small": 500}
+    rates = mixture_rates(counts, {"big": 0.5, "small": 0.5})
+    # N = min(4500/.5, 500/.5) = 1000 -> big 1/9, small keep-all
+    assert rates == pytest.approx({"big": 1 / 9, "small": 1.0})
+    got = mixture_sample(df, "source", rates, "doc_id").toPandas()
+    by = got.groupby("source").size().to_dict()
+    assert by["small"] == 500 and 400 < by["big"] < 620

@@ -1149,6 +1149,36 @@ def _sql_hash_split() -> str:
             f"AS split FROM documents")
 
 
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.75,
+                  **{f"src{i}": 0.2 for i in range(2, 18)}}
+_MIXTURE_SALT = "mix1"
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsample to a target domain mixture:
+    keep thresholds on md5(doc_id || salt), map-only / shuffle-free.
+    Exercises all three expression branches: src0 keeps all (rate-1
+    fast path — no 9-char threshold compare), src1/..17 fractional,
+    src18/19 absent from the rates and dropped.  In production the
+    rates come from mixture_rates() (per-source counts -> rates, unit-
+    tested); fixed here so the oracle embeds bit-identical thresholds."""
+    from .operators.split import mixture_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (mixture_sample(docs, "source", _MIXTURE_RATES, "doc_id",
+                           salt=_MIXTURE_SALT)
+            .select("doc_id", "source"))
+
+
+def _sql_mixture_sample() -> str:
+    from .operators.split import mixture_thresholds
+    h = f"substr(md5(CAST(doc_id AS VARCHAR) || '{_MIXTURE_SALT}'), 1, 8)"
+    cases = " ".join(
+        f"WHEN '{s}' THEN " + ("TRUE" if thr is None else f"{h} < '{thr}'")
+        for s, thr in mixture_thresholds(_MIXTURE_RATES))
+    return (f"SELECT doc_id, source FROM documents "
+            f"WHERE CASE source {cases} ELSE FALSE END")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk packing assignment: per document, the context
     window (chunk) its first token lands in and the offset inside it,
@@ -1809,6 +1839,7 @@ def all_queries():
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1865,6 +1896,7 @@ def all_oracle_sql():
         "dedup_minhash_lsh": SQL_LSH,
         "dedup_components": _sql_dedup_components(),
         "hash_split": _sql_hash_split(),
+        "mixture_sample": _sql_mixture_sample(),
         "contamination": SQL_CONTAMINATION,
         "pack_sequences": SQL_PACK,
         "redact_pii": _sql_redact_pii(),

@@ -44,6 +44,78 @@ def split_thresholds(weights: list[tuple[str, float]]) -> list[tuple[str, str]]:
     return out
 
 
+def mixture_rates(counts: dict, target: dict,
+                  budget: float | None = None) -> dict:
+    """Per-source keep rates realizing a target domain mixture in
+    expectation WITHOUT upsampling: the total kept size N is the largest
+    value (capped by `budget`, if given) such that every source can
+    supply its share — N = min_s counts[s] / target[s] — and then
+    rate_s = target_s * N / counts_s.  Driver-side arithmetic over one
+    tiny per-source count aggregate (#domains rows); the heavy lifting
+    stays in `mixture_sample`'s map-only filter.
+
+    Sources in `counts` but absent from `target` get no entry (dropped
+    by the sampler); a target source missing from `counts` is an error
+    (the mixture would be unreachable)."""
+    if not target:
+        raise ValueError("empty target mixture")
+    for s, w in target.items():
+        if w < 0:
+            raise ValueError(f"negative target weight for {s!r}")
+    total = sum(target.values())
+    if total <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    norm = {s: w / total for s, w in target.items()}
+    missing = [s for s, w in norm.items() if w > 0 and not counts.get(s)]
+    if missing:
+        raise ValueError(f"target source(s) absent from counts: "
+                         f"{sorted(missing)}")
+    n = min(counts[s] / w for s, w in norm.items() if w > 0)
+    if budget is not None:
+        if budget <= 0:
+            raise ValueError("budget must be positive")
+        n = min(n, budget)
+    return {s: (w * n / counts[s] if w > 0 else 0.0)
+            for s, w in norm.items()}
+
+
+def mixture_thresholds(rates: dict) -> list[tuple[str, str | None]]:
+    """[(source, 8-hex-char upper threshold)] in sorted source order;
+    None means keep-all (rate >= 1 must not lexicographically compare an
+    8-char hash against the 9-char '100000000').  Shared with the SQL
+    oracle so both engines embed bit-identical constants."""
+    out = []
+    for s in sorted(rates):
+        r = rates[s]
+        if not (0.0 <= r <= 1.0 + 1e-12):
+            raise ValueError(f"keep rate for {s!r} outside [0, 1]: {r}")
+        thr = None if r >= 1.0 else format(int(r * _HEX_SPACE), "08x")
+        out.append((s, thr))
+    return out
+
+
+def mixture_sample(df: DataFrame, source_col: str, rates: dict,
+                   id_col: str, salt: str = "") -> DataFrame:
+    """Deterministic per-source Bernoulli downsampling to a target
+    mixture: a row is kept iff the first 8 hex chars of
+    md5(id || salt) fall below its source's rate threshold.  Rows whose
+    source has no entry in `rates` are dropped.
+
+    Pure column expression — map-only (zero shuffle) at 10^12 rows,
+    deterministic under repartitioning and engine-portable (same
+    contract as `hash_split`); rows with equal ids make correlated
+    draws (dedup first), and changing `salt` redraws the sample."""
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    expr = None
+    for s, thr in mixture_thresholds(rates):
+        keep = F.lit(True) if thr is None else (h < F.lit(thr))
+        expr = (F.when(F.col(source_col) == s, keep) if expr is None
+                else expr.when(F.col(source_col) == s, keep))
+    expr = F.lit(False) if expr is None else expr.otherwise(F.lit(False))
+    return df.filter(expr)
+
+
 def hash_split(df: DataFrame, id_col: str,
                weights: list[tuple[str, float]] | None = None,
                salt: str = "") -> DataFrame:
