@@ -1179,6 +1179,77 @@ def _sql_mixture_sample() -> str:
             f"WHERE CASE source {cases} ELSE FALSE END")
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the full training-corpus shaping pipeline
+    in one plan: exact dedup (keep min doc_id per (lang, 32-char
+    prefix) group) -> quality filter (composite score >= 0.5) ->
+    mixture-targeted downsample -> deterministic train/val/test split
+    -> per-(split, source) doc/token totals.  Every stage is the
+    already-oracle-proven operator; this query proves they COMPOSE into
+    one Catalyst plan (two corpus scans — the dedup aggregate and the
+    semi-join probe — then map-only filters and one final aggregate)
+    with a single SQL twin.  AQE broadcasts the keeper set at test
+    scale; at corpus scale size-based planning shifts the semi-join to
+    a shuffled join on doc_id by itself — no hints needed."""
+    from .operators.dedup import exact_dedup
+    from .operators.split import hash_split, mixture_sample
+    from .operators.text import quality_score
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("_k", F.substring("text", 1, 32)))
+    keepers = (exact_dedup(docs, ["lang", "_k"], "doc_id")
+               .select(F.col("keeper").alias("doc_id")))
+    kept = docs.join(keepers, "doc_id", "semi")
+    q = quality_score(kept).filter(F.col("quality") >= 0.5)
+    mixed = mixture_sample(q, "source", _MIXTURE_RATES, "doc_id",
+                           salt=_MIXTURE_SALT)
+    sp = hash_split(mixed, "doc_id", weights=_SPLIT_WEIGHTS,
+                    salt=_SPLIT_SALT)
+    return (sp.groupBy("split", "source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n_tokens").alias("sum_tokens")))
+
+
+def _sql_corpus_pipeline() -> str:
+    from .operators.split import mixture_thresholds, split_thresholds
+    hmix = (f"substr(md5(CAST(doc_id AS VARCHAR) || '{_MIXTURE_SALT}'), "
+            f"1, 8)")
+    mix_cases = " ".join(
+        f"WHEN '{s}' THEN " + ("TRUE" if thr is None
+                               else f"{hmix} < '{thr}'")
+        for s, thr in mixture_thresholds(_MIXTURE_RATES))
+    hsp = (f"substr(md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'), "
+           f"1, 8)")
+    sp_cases = " ".join(f"WHEN {hsp} < '{thr}' THEN '{name}'"
+                        for name, thr in split_thresholds(_SPLIT_WEIGHTS))
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(concat_ws(chr(31), lang, substr(text, 1, 32)))
+),
+d AS (SELECT documents.* FROM documents JOIN keep USING (doc_id)),
+b AS (
+  SELECT doc_id, source, length(text) AS nc,
+         length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+         (length(text) - length(replace(text, ' the ', ''))) / 5.0
+       + (length(text) - length(replace(text, ' a ', ''))) / 3.0
+       + (length(text) - length(replace(text, ' data ', ''))) / 6.0 AS stops
+  FROM d
+),
+q AS (
+  SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens
+  FROM b
+  WHERE round(least(1.0, nt / 100.0) * 0.5
+              + least(1.0, stops / 5.0) * 0.5, 6) >= 0.5
+),
+m AS (SELECT * FROM q WHERE CASE source {mix_cases} ELSE FALSE END)
+SELECT CASE {sp_cases} ELSE '{_SPLIT_WEIGHTS[-1][0]}' END AS split,
+       source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM m GROUP BY 1, 2
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk packing assignment: per document, the context
     window (chunk) its first token lands in and the offset inside it,
@@ -1840,6 +1911,7 @@ def all_queries():
         "dedup_components": q_dedup_components,
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
+        "corpus_pipeline": q_corpus_pipeline,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
@@ -1897,6 +1969,7 @@ def all_oracle_sql():
         "dedup_components": _sql_dedup_components(),
         "hash_split": _sql_hash_split(),
         "mixture_sample": _sql_mixture_sample(),
+        "corpus_pipeline": _sql_corpus_pipeline(),
         "contamination": SQL_CONTAMINATION,
         "pack_sequences": SQL_PACK,
         "redact_pii": _sql_redact_pii(),
