@@ -201,3 +201,27 @@ def test_mixture_rates_feed_sample_end_to_end(spark):
     got = mixture_sample(df, "source", rates, "doc_id").toPandas()
     by = got.groupby("source").size().to_dict()
     assert by["small"] == 500 and 400 < by["big"] < 620
+
+
+def test_leakage_safe_split_same_component_same_split(spark):
+    from xagg_spark.operators.split import leakage_safe_split
+    # clusters {0,1,2}, {10,11}; 20..29 singletons (absent from comp)
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (10, 11)],
+                                  "id_a: long, id_b: long")
+    comp = connected_components(pairs)
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 2, 10, 11,
+                                                 *range(20, 30))],
+                                 "doc_id: long")
+    out = leakage_safe_split(docs, "doc_id", comp, salt="x").toPandas()
+    by = out.set_index("doc_id")["split"]
+    # invariant: every component's members share one split
+    assert len({by[0], by[1], by[2]}) == 1
+    assert by[10] == by[11]
+    # singletons split EXACTLY like hash_split on their own id
+    solo = (hash_split(docs.filter(F.col("doc_id") >= 20), "doc_id",
+                       salt="x").toPandas().set_index("doc_id")["split"])
+    assert all(by[i] == solo[i] for i in range(20, 30))
+    # reserved-column guard
+    with pytest.raises(ValueError, match="_split_key"):
+        leakage_safe_split(docs.withColumn("_split_key", F.lit(1)),
+                           "doc_id", comp)

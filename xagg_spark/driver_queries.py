@@ -1149,6 +1149,54 @@ def _sql_hash_split() -> str:
             f"AS split FROM documents")
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the NEAR-DUP COMPONENT: LSH pairs
+    -> transitive components -> hash split on the component id, so no
+    near-duplicate pair straddles train/test (a doc-keyed split leaks
+    ~18% of near-dup pairs across splits at 90/5/5).  Same doc_id < 1000
+    cap as `dedup_components` (full corpus at the sf0.01 gate; bounds
+    the oracle's recursive closure at larger sf)."""
+    from .operators.dedup import (connected_components, lsh_candidate_pairs,
+                                  minhash_signatures)
+    from .operators.split import leakage_safe_split
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 1000))
+    keyed = docs.withColumn("text2", F.substring("text", 1, 24))
+    sigs = minhash_signatures(keyed, "text2", "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    out = leakage_safe_split(docs, "doc_id", comp,
+                             weights=_SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return out.select("doc_id", "split")
+
+
+def _sql_split_leakage_safe() -> str:
+    from .operators.split import split_thresholds
+    h = (f"substr(md5(CAST(component AS VARCHAR) || '{_SPLIT_SALT}'), "
+         f"1, 8)")
+    cases = " ".join(f"WHEN {h} < '{thr}' THEN '{name}'"
+                     for name, thr in split_thresholds(_SPLIT_WEIGHTS))
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({SQL_LSH}) WHERE id_a < 1000 AND id_b < 1000
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, m) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(m) AS component FROM reach
+         GROUP BY node)
+SELECT doc_id, CASE {cases} ELSE '{_SPLIT_WEIGHTS[-1][0]}' END AS split
+FROM comp
+"""
+
+
 _MIXTURE_RATES = {"src0": 1.0, "src1": 0.75,
                   **{f"src{i}": 0.2 for i in range(2, 18)}}
 _MIXTURE_SALT = "mix1"
@@ -1911,6 +1959,7 @@ def all_queries():
         "dedup_components": q_dedup_components,
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
+        "split_leakage_safe": q_split_leakage_safe,
         "corpus_pipeline": q_corpus_pipeline,
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
@@ -1969,6 +2018,7 @@ def all_oracle_sql():
         "dedup_components": _sql_dedup_components(),
         "hash_split": _sql_hash_split(),
         "mixture_sample": _sql_mixture_sample(),
+        "split_leakage_safe": _sql_split_leakage_safe(),
         "corpus_pipeline": _sql_corpus_pipeline(),
         "contamination": SQL_CONTAMINATION,
         "pack_sequences": SQL_PACK,

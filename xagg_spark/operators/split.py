@@ -138,3 +138,29 @@ def hash_split(df: DataFrame, id_col: str,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = expr.otherwise(weights[-1][0])
     return df.withColumn("split", expr)
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, components: DataFrame,
+                       weights: list[tuple[str, float]] | None = None,
+                       salt: str = "") -> DataFrame:
+    """Split keyed on the near-dup COMPONENT instead of the document id,
+    so no pair of near-duplicates straddles train/test — the eval
+    leakage a doc-keyed split cannot prevent (two near-identical docs
+    hash to independent splits ~18% of the time at 90/5/5).
+
+    `components` is DataFrame["node", "component"] from
+    `connected_components`; documents absent from it fall back to their
+    own id as the key, which makes them split EXACTLY like `hash_split`
+    at the same weights/salt (component = min member id, so a singleton
+    component IS the doc id).  One shuffled left join on the id —
+    AQE broadcasts the component table when it fits — then the same
+    map-only threshold expression as `hash_split` on the key."""
+    if "_split_key" in df.columns:
+        raise ValueError("input already has a _split_key column "
+                         "(reserved by leakage_safe_split)")
+    comp = components.select(F.col("node").alias(id_col),
+                             F.col("component").alias("_split_key"))
+    joined = (df.join(comp, id_col, "left")
+                .withColumn("_split_key",
+                            F.coalesce("_split_key", F.col(id_col))))
+    return hash_split(joined, "_split_key", weights, salt).drop("_split_key")
