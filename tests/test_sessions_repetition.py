@@ -102,3 +102,35 @@ def test_sessionize_plan_single_exchange_and_sort(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("+- Sort ") == 1, plan
     assert plan.count("Window") == 2, plan
+
+
+def test_chunk_documents_hand_checked_and_reassembly(spark):
+    from xagg_spark.operators.text import chunk_documents
+    text = "abcdefghij"                       # len 10
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "xy")],
+                               "doc_id: long, text: string")
+    out = chunk_documents(df, "text", "doc_id", size=4, overlap=2)
+    rows = sorted([(r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text)
+                   for r in out.collect()])
+    # stride 2: chunks at 0,2,4,6 cover [0:4..6:10] -> (10-2-1)//2+1 = 4
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 0, "abcd"), (1, 1, 2, "cdef"),
+        (1, 2, 4, "efgh"), (1, 3, 6, "ghij")]
+    # empty doc -> one empty chunk; short doc -> one truncated chunk
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, "")]
+    assert [r for r in rows if r[0] == 3] == [(3, 0, 0, "xy")]
+    # reassembly invariant: stripping the overlap from every chunk but
+    # the first reconstructs the original text exactly
+    chunks = [r[3] for r in rows if r[0] == 1]
+    assert chunks[0] + "".join(c[2:] for c in chunks[1:]) == text
+
+
+def test_chunk_documents_validates(spark):
+    from xagg_spark.operators.text import chunk_documents
+    df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="size"):
+        chunk_documents(df, size=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=4, overlap=4)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=4, overlap=-1)

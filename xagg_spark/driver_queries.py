@@ -1439,6 +1439,25 @@ FROM g GROUP BY doc_id
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows (size 200, overlap 40) over every
+    document — integer-arithmetic chunk count, JVM explode+substring;
+    the oracle replays the identical `div` formula."""
+    from .operators.text import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, "text", "doc_id", size=200, overlap=40)
+
+
+SQL_CHUNKS = """
+SELECT doc_id, CAST(gs.i AS INT) AS chunk_idx,
+       CAST(gs.i * 160 AS BIGINT) AS chunk_start,
+       substr(text, CAST(gs.i * 160 + 1 AS INT), 200) AS chunk_text
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(
+       0, greatest((length(text) - 41) // 160 + 1, 1) - 1)) AS i) gs
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1966,6 +1985,7 @@ def all_queries():
         "redact_pii": q_redact_pii,
         "sessionize": q_sessionize,
         "repetition_ratio": q_repetition_ratio,
+        "chunk_documents": q_chunk_documents,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2025,6 +2045,7 @@ def all_oracle_sql():
         "redact_pii": _sql_redact_pii(),
         "sessionize": SQL_SESSIONIZE,
         "repetition_ratio": SQL_REPETITION,
+        "chunk_documents": SQL_CHUNKS,
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine_topk": SQL_ANN,

@@ -138,3 +138,34 @@ def repetition_ratio(df: DataFrame, text_col: str = "text",
                  .withColumn("rep_ratio",
                              F.round(1 - F.col("n_distinct")
                                      / F.col("n_grams"), 6)))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = 256,
+                    overlap: int = 32) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    `overlap` shared chars between neighbors — the context-chunking
+    step ahead of tokenize/pack.  stride = size - overlap; chunk i
+    covers [i*stride, i*stride + size); every doc emits >= 1 chunk
+    (empty docs one empty chunk).  Chunk count uses INTEGER arithmetic
+    (`div`), not float ceil — bit-portable to any engine and safe past
+    2^53 chars.  Pure JVM sequence/explode + substring: no Python, no
+    shuffle, output scales by ~len/stride.
+    Returns (id_col, chunk_idx, chunk_start, chunk_text)."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not (0 <= overlap < size):
+        raise ValueError("overlap must satisfy 0 <= overlap < size")
+    stride = size - overlap
+    n = F.greatest(
+        F.expr(f"(length({text_col}) - {overlap} - 1) div {stride}")
+        + F.lit(1), F.lit(1)).cast("int")
+    out = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx"))
+    return (out.withColumn("chunk_start",
+                           (F.col("chunk_idx") * stride).cast("long"))
+               .withColumn("chunk_text",
+                           F.expr(f"substring(_t, chunk_idx * {stride} + 1, "
+                                  f"{size})"))
+               .drop("_t"))
