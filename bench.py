@@ -479,6 +479,7 @@ def run():
                       "k": 256, "n_iters": 3, "sample_one_in": 16}
 
     from xagg_spark.driver_queries import (q_ann_cosine_topk,
+                                           q_corpus_pipeline,
                                            q_dedup_minhash_lsh,
                                            q_knn_tiles, q_simhash,
                                            q_topk_per_group,
@@ -504,6 +505,7 @@ def run():
                      ("minhash_lsh", q_dedup_minhash_lsh),
                      ("simhash", q_simhash),
                      ("ann_cosine_topk", q_ann_cosine_topk),
+                     ("corpus_pipeline", q_corpus_pipeline),
                      ("knn_tiles", q_knn_tiles)]:
         ts, cnt = [], 0
         while True:
@@ -517,6 +519,12 @@ def run():
             if len(ts) >= MAX_REPS:
                 break
         rows_per_sec[name] = round(cnt / max(queries[name], 1e-3), 0)
+
+    # the capstone emits a ~50-row aggregate; report throughput in INPUT
+    # docs/sec (dedup + quality + mixture + split + totals, one plan)
+    n_docs_in = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows_per_sec["corpus_pipeline"] = round(
+        n_docs_in / max(queries["corpus_pipeline"], 1e-3), 0)
 
     # kNN at 10^6 centers (r4 ask #5 upper end) — measured LAST in this
     # session: at this count NO resolution fits the (q_id, cell) cover in
