@@ -225,3 +225,31 @@ def test_leakage_safe_split_same_component_same_split(spark):
     with pytest.raises(ValueError, match="_split_key"):
         leakage_safe_split(docs.withColumn("_split_key", F.lit(1)),
                            "doc_id", comp)
+
+
+def test_hash_split_rejects_existing_split_column(spark):
+    df = (spark.range(5).withColumnRenamed("id", "doc_id")
+          .withColumn("split", F.lit("train")))
+    with pytest.raises(ValueError, match="already has a split column"):
+        hash_split(df, "doc_id")
+
+
+def test_components_free_superseded_checkpoints(spark):
+    """Code-review r5s4: each round's superseded label checkpoint (and
+    the edge table, on return) must be freed eagerly — a multi-round
+    graph otherwise retains O(rounds) node-table copies for the life of
+    the session.  Only the RETURNED final label table may stay resident."""
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_persisted()
+    # a 300-node chain runs several propagate+jump rounds
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(299)],
+                                "id_a: long, id_b: long")
+    out = connected_components(pdf, max_iter=15)
+    assert out.count() == 300
+    # final labels only (edges + per-round checkpoints freed): the leak
+    # this pins would retain rounds+2 tables here
+    assert n_persisted() - before <= 1

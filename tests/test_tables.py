@@ -369,3 +369,29 @@ def test_tile_layout_relative_path_and_ignore_mode(spark, tmp_path):
     write_images(imgs, p_new, mode="ignore", tile_buckets=4)
     assert read_tile_layout(p_new) == {"scheme": "ty_mod",
                                        "tile_buckets": 4}
+
+
+def test_append_to_manifestless_table_raises(spark, tmp_path):
+    """Code-review r5s4: an append onto an EXISTING table with no
+    _tile_layout.json must fail fast — the table's bucket layout cannot
+    be verified, and stamping the append's layout over it would be the
+    pruner lie the manifest exists to prevent.  Fresh targets (nothing
+    on disk) still append fine."""
+    import os
+
+    import pytest
+
+    from xagg_spark.io.tables import read_tile_layout
+
+    imgs = generate_spark(spark, GRID, ntime=1, fmt="raw32")
+    p = str(tmp_path / "imgs_manifestless")
+    # a table written by some foreign tool: data, no manifest
+    write_images(imgs, p, mode="overwrite", tile_buckets=8)
+    os.remove(os.path.join(p, "_tile_layout.json"))
+    with pytest.raises(ValueError, match="no _tile_layout.json"):
+        write_images(imgs, p, mode="append", tile_buckets=8)
+    assert read_tile_layout(p) is None        # nothing was stamped
+    # appending to a target that does not exist yet stays allowed
+    p2 = str(tmp_path / "imgs_fresh_append")
+    write_images(imgs, p2, mode="append", tile_buckets=8)
+    assert read_tile_layout(p2) == {"scheme": "ty_mod", "tile_buckets": 8}

@@ -334,10 +334,10 @@ GROUP BY o.poly_idx, ts.t
 """
 
 
-def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6/O3: k=5 nearest pixel centers per polygon centroid, CEA distance,
-    deterministic tie-break on pix_idx."""
-    from .operators.knn import knn_pixels
+def _knn_fixture(spark: SparkSession):
+    """(pixels, centers) shared by every kNN query variant — the centers
+    grid is mirrored literally in SQL_KNN's ctr CTE, so it must only
+    change together with that CTE."""
     from .operators.overlaps import pixel_geometry
     pixels = pixel_geometry(spark, QGRID).select("pix_idx", "lat", "lon")
     centers = pd.DataFrame({
@@ -345,6 +345,14 @@ def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_lon": [-18.0 + (i % 4) * 9.0 + 0.125 + 3.625 for i in range(NPOLY)],
         "c_lat": [-9.0 + (i // 4) * 6.0 + 0.0625 + 2.625 for i in range(NPOLY)],
     })
+    return pixels, centers
+
+
+def q_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/O3: k=5 nearest pixel centers per polygon centroid, CEA distance,
+    deterministic tie-break on pix_idx."""
+    from .operators.knn import knn_pixels
+    pixels, centers = _knn_fixture(spark)
     out = knn_pixels(spark, pixels, centers, k=5)
     return out.select(F.col("q_id").cast("long").alias("q_id"),
                       F.col("rank").cast("long").alias("rank"), "pix_idx")
@@ -362,13 +370,7 @@ def q_knn_tiles_shuffle_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are found, never the ranking, so the result must match
     the same analytic oracle as the broadcast path (SQL_KNN)."""
     from .operators.knn import knn_pixels
-    from .operators.overlaps import pixel_geometry
-    pixels = pixel_geometry(spark, QGRID).select("pix_idx", "lat", "lon")
-    centers = pd.DataFrame({
-        "q_id": np.arange(NPOLY, dtype=np.int64),
-        "c_lon": [-18.0 + (i % 4) * 9.0 + 0.125 + 3.625 for i in range(NPOLY)],
-        "c_lat": [-9.0 + (i // 4) * 6.0 + 0.0625 + 2.625 for i in range(NPOLY)],
-    })
+    pixels, centers = _knn_fixture(spark)
     out = knn_pixels(spark, pixels, centers, k=5, _force_shuffle_cover=True)
     return out.select(F.col("q_id").cast("long").alias("q_id"),
                       F.col("rank").cast("long").alias("rank"), "pix_idx")
@@ -1093,6 +1095,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the recursive CTE materializes every (node, reachable-min) pair,
     ~25M rows for sf0.1's single 4991-doc prefix cluster.  The UNCAPPED
     Spark path is exercised by the `dedup_components` bench entry."""
+    docs, comp = _capped_components(spark, sf_dir)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def _capped_components(spark: SparkSession, sf_dir: str):
+    """(capped docs, their near-dup components) — the recipe shared by
+    q_dedup_components and q_split_leakage_safe; its SQL twin is
+    _CAPPED_COMPONENTS_CTE.  The cap (doc_id < 1000), the 24-char
+    minhash key, and the LSH parameters must only change together with
+    that CTE (and SQL_LSH)."""
     from .operators.dedup import (connected_components, lsh_candidate_pairs,
                                   minhash_signatures)
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1101,14 +1113,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(keyed, "text2", "doc_id")
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     comp = connected_components(pairs, nodes=docs.select("doc_id"))
-    return comp.select(F.col("node").alias("doc_id"), "component")
+    return docs, comp
 
 
-def _sql_dedup_components() -> str:
-    # minhash signatures are per-document, so filtering the PAIRS to the
-    # capped id range yields exactly the pairs of the capped corpus
-    return f"""
-WITH RECURSIVE pairs AS (
+# minhash signatures are per-document, so filtering the PAIRS to the
+# capped id range yields exactly the pairs of the capped corpus.  Must
+# be opened with WITH RECURSIVE; `reach` closes the LSH edges
+# transitively (component = min reachable id).
+_CAPPED_COMPONENTS_CTE = f"""pairs AS (
   SELECT * FROM ({SQL_LSH}) WHERE id_a < 1000 AND id_b < 1000
 ),
 edges AS (
@@ -1120,7 +1132,12 @@ reach(node, m) AS (
   SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
   UNION
   SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
-)
+)"""
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE {_CAPPED_COMPONENTS_CTE}
 SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node
 """
 
@@ -1156,15 +1173,8 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~18% of near-dup pairs across splits at 90/5/5).  Same doc_id < 1000
     cap as `dedup_components` (full corpus at the sf0.01 gate; bounds
     the oracle's recursive closure at larger sf)."""
-    from .operators.dedup import (connected_components, lsh_candidate_pairs,
-                                  minhash_signatures)
     from .operators.split import leakage_safe_split
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .filter(F.col("doc_id") < 1000))
-    keyed = docs.withColumn("text2", F.substring("text", 1, 24))
-    sigs = minhash_signatures(keyed, "text2", "doc_id")
-    pairs = lsh_candidate_pairs(sigs, "doc_id")
-    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    docs, comp = _capped_components(spark, sf_dir)
     out = leakage_safe_split(docs, "doc_id", comp,
                              weights=_SPLIT_WEIGHTS, salt=_SPLIT_SALT)
     return out.select("doc_id", "split")
@@ -1177,19 +1187,7 @@ def _sql_split_leakage_safe() -> str:
     cases = " ".join(f"WHEN {h} < '{thr}' THEN '{name}'"
                      for name, thr in split_thresholds(_SPLIT_WEIGHTS))
     return f"""
-WITH RECURSIVE pairs AS (
-  SELECT * FROM ({SQL_LSH}) WHERE id_a < 1000 AND id_b < 1000
-),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(node, m) AS (
-  SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
-  UNION
-  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
-),
+WITH RECURSIVE {_CAPPED_COMPONENTS_CTE},
 comp AS (SELECT node AS doc_id, min(m) AS component FROM reach
          GROUP BY node)
 SELECT doc_id, CASE {cases} ELSE '{_SPLIT_WEIGHTS[-1][0]}' END AS split

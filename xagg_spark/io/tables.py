@@ -101,6 +101,17 @@ def write_images(df: DataFrame, target: str, mode: str = "append",
             f"tile_buckets={tile_buckets} — mixed bucket layouts in one "
             "table break partition pruning; match the existing layout or "
             "rewrite with mode='overwrite'")
+    is_local = "://" not in target
+    if (existing is None and mode == "append" and is_local
+            and os.path.exists(target)):
+        # a manifest-less EXISTING table has an unverifiable layout — an
+        # append would stamp the new layout over files written with an
+        # unknown one, the exact pruner lie the manifest exists to stop
+        raise ValueError(
+            f"write_images: {target!r} exists but has no _tile_layout.json "
+            "— its bucket layout cannot be verified against this append. "
+            "Rewrite with mode='overwrite', or stamp the true layout "
+            "manually if it is known to match.")
     df = df.withColumn("tile_bucket", tile_bucket_col(tile_buckets))
     if one_file_per_bucket:
         df = df.repartition(tile_buckets, F.col("tile_bucket"))
@@ -109,18 +120,33 @@ def write_images(df: DataFrame, target: str, mode: str = "append",
            .createOrReplace() if mode == "overwrite"
          else df.writeTo(target).append())
         return
-    pre_exists = "://" not in target and os.path.exists(target)
+    pre_exists = is_local and os.path.exists(target)
     df.write.mode(mode).partitionBy("tile_bucket").parquet(target)
+    if not is_local:
+        return
     # record the layout ONLY when this call actually (re)wrote data:
     # SaveMode.Ignore skips the write when the table already exists, and
     # stamping the requested layout over data written with a different
-    # one would make the manifest lie to the pruner (code-review r5)
-    if "://" not in target and not (mode == "ignore" and pre_exists):
-        tmp = os.path.join(target, "_tile_layout.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"scheme": _TILE_SCHEME,
-                       "tile_buckets": tile_buckets}, f)
-        os.replace(tmp, os.path.join(target, "_tile_layout.json"))
+    # one would make the manifest lie to the pruner (code-review r5).
+    # The pre_exists probe alone is racy (a concurrent writer can create
+    # the table inside the probe→write window and Ignore then skips), so
+    # it is backed by two post-write ground-truth checks: a manifest that
+    # appeared concurrently wins, and the partition dirs must be
+    # consistent with the layout we are about to stamp.
+    if mode == "ignore":
+        if pre_exists or read_tile_layout(target) is not None:
+            return
+        try:
+            parts = [d for d in os.listdir(target)
+                     if d.startswith("tile_bucket=")]
+            if any(int(d.split("=", 1)[1]) >= tile_buckets for d in parts):
+                return          # foreign layout on disk — do not stamp
+        except (OSError, ValueError):
+            return
+    tmp = os.path.join(target, "_tile_layout.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"scheme": _TILE_SCHEME, "tile_buckets": tile_buckets}, f)
+    os.replace(tmp, os.path.join(target, "_tile_layout.json"))
 
 
 def bucket_filter_for_bbox(grid, lon_min: float, lat_min: float,

@@ -16,6 +16,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..session import free_local_checkpoint
+
 MOD = 1000003          # hash space (prime); small but oracle-portable
 HASH_SALT = 7919
 
@@ -173,7 +175,9 @@ def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
     Every step is a key-partitioned join/groupBy — no driver-side
     graph state, so the corpus can be 10^9 documents.  Lineage is cut
     with localCheckpoint each round (the loop would otherwise stack
-    O(rounds) shuffles into one plan).
+    O(rounds) shuffles into one plan); each round's checkpoint (and the
+    edge table, on return) is freed as soon as it is superseded, so
+    retained storage is O(1) rounds, not O(rounds).
 
     nodes: optional single-column DataFrame of the full node universe —
     ids that appear in no pair become singleton components of themselves.
@@ -210,12 +214,17 @@ def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
                       .join(lab.alias("o"), "node")
                       .filter(F.col("n.component") != F.col("o.component"))
                       .count())
+        # `new` is eagerly materialized, so the superseded round's
+        # checkpoint blocks are dead weight — free them now, not at GC
+        free_local_checkpoint(lab)
         lab = new
         if changed == 0:
             break
     else:
+        free_local_checkpoint(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
+    free_local_checkpoint(edges)
     return lab
 
 

@@ -434,14 +434,9 @@ class WeightMap:
         targets = (self._ckpts if self._ckpts is not None
                    else [self._ckpt if self._ckpt is not None
                          else self.overlaps])
+        from ..session import free_local_checkpoint
         for target in targets:
-            try:
-                target._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                try:
-                    target.unpersist()
-                except Exception:
-                    pass
+            free_local_checkpoint(target)
 
 
 def split_antimeridian(pixels: DataFrame) -> DataFrame:
@@ -866,24 +861,33 @@ def _pixel_overlaps_batched(spark: SparkSession, grid, polys: PolygonSet,
     n_rows = n_boundary = n_nonconvex = 0
     has_w = weights_pdf is not None or (pixels is not None
                                         and pixels_have_weights)
-    for lo, hi in batches:
-        sub = PolygonSet([polys.rings[i] for i in range(lo, hi)],
-                         polys.attrs.iloc[lo:hi].drop(columns="poly_idx")
-                         .reset_index(drop=True))
-        try:
-            wm = pixel_overlaps(spark, grid, sub, weights_pdf=weights_pdf,
-                                subset_bbox=subset_bbox, salt=salt,
-                                pixels=pixels,
-                                pixels_have_weights=pixels_have_weights,
-                                _epsg=epsg)
-        except NoOverlapError:
-            continue
-        parts.append(wm.overlaps.withColumn(
-            "poly_idx", (F.col("poly_idx") + F.lit(lo)).cast("long")))
-        ckpts.append(wm._ckpt if wm._ckpt is not None else wm.overlaps)
-        n_rows += wm.n_rows
-        n_boundary += wm.n_boundary_refined
-        n_nonconvex += wm.n_nonconvex_fallback
+    try:
+        for lo, hi in batches:
+            sub = PolygonSet([polys.rings[i] for i in range(lo, hi)],
+                             polys.attrs.iloc[lo:hi].drop(columns="poly_idx")
+                             .reset_index(drop=True))
+            try:
+                wm = pixel_overlaps(spark, grid, sub,
+                                    weights_pdf=weights_pdf,
+                                    subset_bbox=subset_bbox, salt=salt,
+                                    pixels=pixels,
+                                    pixels_have_weights=pixels_have_weights,
+                                    _epsg=epsg)
+            except NoOverlapError:
+                continue
+            parts.append(wm.overlaps.withColumn(
+                "poly_idx", (F.col("poly_idx") + F.lit(lo)).cast("long")))
+            ckpts.append(wm._ckpt if wm._ckpt is not None else wm.overlaps)
+            n_rows += wm.n_rows
+            n_boundary += wm.n_boundary_refined
+            n_nonconvex += wm.n_nonconvex_fallback
+    except BaseException:
+        # a failing later batch must not orphan the checkpointed blocks
+        # of the batches already built (no WeightMap handle escapes here)
+        from ..session import free_local_checkpoint
+        for c in ckpts:
+            free_local_checkpoint(c)
+        raise
     if not parts:
         raise NoOverlapError(
             "No `ds` grid cells overlapped with any polygon in `gdf_in`. "

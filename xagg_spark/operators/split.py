@@ -130,6 +130,10 @@ def hash_split(df: DataFrame, id_col: str,
         weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
     if len(weights) < 2:
         raise ValueError("need at least two splits")
+    if "split" in df.columns:
+        raise ValueError("input already has a split column — re-splitting "
+                         "would silently clobber the old assignment; drop "
+                         "or rename it first")
     h = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
     expr = None

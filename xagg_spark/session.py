@@ -7,6 +7,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def free_local_checkpoint(df) -> None:
+    """Free a localCheckpoint'ed DataFrame's materialized blocks NOW.
+
+    DataFrame.unpersist is a no-op for checkpointed plans — the blocks
+    otherwise live until the JVM GCs the RDD, so iterative algorithms
+    (label propagation, batched overlap builds) that checkpoint per
+    round accumulate storage linearly and degrade the whole session.
+    Reaches the LogicalRDD directly; best-effort (silently ignores
+    non-checkpointed plans)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def get_spark(app: str = "xagg_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Local-mode session tuned for this engine.
