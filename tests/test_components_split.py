@@ -253,3 +253,32 @@ def test_components_free_superseded_checkpoints(spark):
     # final labels only (edges + per-round checkpoints freed): the leak
     # this pins would retain rounds+2 tables here
     assert n_persisted() - before <= 1
+
+
+def test_corpus_pipeline_join_shifts_past_broadcast_threshold(spark):
+    """The capstone's scale claim, executed: the dedup-keeper semi-join
+    is AQE-broadcast at gate scale (EXPLAIN.md capture), and past the
+    10MB broadcast threshold size-based planning must shift it to a
+    SHUFFLED semi-join on doc_id BY ITSELF — the query carries no hints,
+    so this pins that nothing in the composition (localCheckpoint-free,
+    hint-free) blocks the planner from making the scale choice."""
+    from xagg_spark.operators.dedup import exact_dedup
+
+    n = 2_000_000          # ~16MB of bigint keepers > 10MB threshold
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 3)).alias("source"))
+    keyed = docs.withColumn("_k", F.substring("text", 1, 32))
+    keepers = (exact_dedup(keyed, ["lang", "_k"], "doc_id")
+               .select(F.col("keeper").alias("doc_id")))
+    out = (keyed.join(keepers, "doc_id", "semi")
+                .groupBy("source").count())
+    rows = {r.source: r["count"] for r in out.collect()}
+    assert sum(rows.values()) == n          # unique texts: all kept
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines and all("Broadcast" not in ln for ln in semi_lines), \
+        semi_lines
