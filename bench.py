@@ -203,6 +203,30 @@ def _ensure_images(spark, grid, tag=""):
     return spark.read.parquet(path)
 
 
+def _ensure_big_corpus(spark):
+    """~5M-document corpus for the pipeline-scaling section: the SF_DIR
+    documents table replicated with distinct doc_ids (deterministic:
+    doc_id*factor + rep).  Duplicated texts make the dedup stage collapse
+    hard — the realistic worst case for the keeper aggregate.  Cached in
+    .bench_cache like the image/embedding tables; returns the sf_dir-style
+    parent so q_corpus_pipeline reads it unchanged."""
+    import pyspark.sql.functions as F
+    n_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    factor = max((5_120_000 + n_src - 1) // n_src, 1)
+    root = os.path.join(CACHE, f"bench_docs_big_{n_src}x{factor}")
+    path = os.path.join(root, "documents.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(root, ignore_errors=True)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        big = (docs.crossJoin(spark.range(factor)
+                              .withColumnRenamed("id", "_rep"))
+               .withColumn("doc_id",
+                           F.col("doc_id") * factor + F.col("_rep"))
+               .drop("_rep"))
+        big.repartition(CPUS * 2).write.mode("overwrite").parquet(path)
+    return root, n_src * factor
+
+
 def _geo_job(spark, grid, polys, tag=""):
     """decode -> overlap join -> aggregate; returns (timings, row counts)."""
     from xagg_spark.operators import aggregate, pixel_overlaps, tiles_to_pixels
@@ -600,6 +624,34 @@ def run():
     scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
     scaling["efficiency_8_to_32"] = round((t8 / t32) / (CPUS / 8), 3)
 
+    # ---- pipeline scaling: the corpus-shaping capstone (dedup keepers ->
+    # quality -> mixture -> split -> totals) over a ~5M-doc corpus at the
+    # N -> 4N pair local[8] / local[32], min-of-REPS per level, fresh
+    # session per level.  Throughput reported in INPUT docs/s.  The small
+    # headline corpus (sf0.1 = 5k docs) finishes in fixed-overhead time at
+    # any core count, so scaling is only observable at this size (the
+    # standalone local[2] point + analysis live in BASELINE.md).
+    from xagg_spark.driver_queries import q_corpus_pipeline
+    pipeline_scaling = {}
+    for ncores in (8, CPUS):
+        spark = _session(f"local[{ncores}]", max(ncores, 8))
+        big_dir, n_big = _ensure_big_corpus(spark)
+        level_ts = []
+        for _ in range(REPS):
+            t0 = time.time()
+            q_corpus_pipeline(spark, big_dir).count()
+            level_ts.append(time.time() - t0)
+            runs.setdefault(f"pipe_scaling_local[{ncores}]", []).append(
+                [round(level_ts[-1], 2), _load1m()])
+        spark.stop()
+        tsec = min(level_ts)
+        pipeline_scaling[f"local[{ncores}]"] = {
+            "sec": round(tsec, 2), "n_docs": n_big,
+            "docs_per_sec": round(n_big / tsec, 0)}
+    pipeline_scaling["efficiency_8_to_32"] = round(
+        (pipeline_scaling["local[8]"]["sec"]
+         / pipeline_scaling[f"local[{CPUS}]"]["sec"]) / (CPUS / 8), 3)
+
     # ---- 4x flagship: same job on the 0.025-deg grid (23M pixel values,
     # ~15M overlap rows — weightmap above the broadcast threshold, so the
     # aggregate takes the shuffle-join scale path) at the official N->4N
@@ -792,6 +844,7 @@ def run():
         "rows_per_sec": rows_per_sec,
         "scaling": scaling,
         "calibration": calibration,
+        "pipeline_scaling": pipeline_scaling,
         "scaling_4x": scaling_4x,
         "resume_4x": resume_check,
         "ivf_train": ivf_train_info,
@@ -819,6 +872,9 @@ def run():
         "eff_8_to_32": scaling["efficiency_8_to_32"],
         "eff4x_8_to_32": scaling_4x["efficiency_8_to_32"],
         "eff4x_2_to_8": scaling_4x["efficiency_2_to_8"],
+        "pipe_docs_per_sec": pipeline_scaling[f"local[{CPUS}]"]
+                                             ["docs_per_sec"],
+        "eff_pipe_8_to_32": pipeline_scaling["efficiency_8_to_32"],
     }
     print(json.dumps(summary))
     if violations:
