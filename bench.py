@@ -560,12 +560,18 @@ def run():
     # a single-key cartesian.  Last because its 60M-candidate shuffle +
     # 5M-row result leaves GC/block-cleanup debris that inflates small
     # queries measured after it in the same JVM (run E: simhash 1.84 vs
-    # the 1.24 r1 reference with the 10^6 section ahead of it).
+    # the 1.24 r1 reference with the 10^6 section ahead of it) — and in a
+    # FRESH session so it doesn't inherit the whole headline session's
+    # debris itself (run L recorded 60.2s in-session vs 33.9s standalone;
+    # the pixel-geometry rebuild costs ~2s, far less than the bias).
+    spark.stop()
+    spark = _session(f"local[{CPUS}]", CPUS)
+    pixels_1m = pixel_geometry(spark, grid).select("pix_idx", "lat", "lon")
     centers1m = _knn_centers_1m()
     ts = []
     for _ in range(REPS):
         t0 = time.time()
-        cnt = knn_pixels(spark, bench_pixels, centers1m, k=5,
+        cnt = knn_pixels(spark, pixels_1m, centers1m, k=5,
                          radius_deg=0.2).count()
         ts.append(time.time() - t0)
         runs.setdefault("knn_1m_centers", []).append(
