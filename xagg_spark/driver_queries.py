@@ -305,6 +305,48 @@ GROUP BY o.poly_idx, ts.t
 """
 
 
+def q_aggregate_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal-statistic extension beyond the reference's weighted mean:
+    exact area-weighted MEDIAN per (polygon, t) — lower weighted quantile
+    at q=0.5, ties broken by pix_idx, total weight = max of the running
+    sum so both engines compare against their own accumulation."""
+    from .operators import tiles_to_pixels
+    from .operators.aggregate import aggregate_quantile
+    wm = _wm(spark)
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=3,
+                          fmt="raw32")
+    pix = tiles_to_pixels(imgs, QGRID)
+    out = aggregate_quantile(pix, wm, q=0.5, dims=("var", "t"))
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.round("value", 6).alias("value"))
+
+
+SQL_AGG_MEDIAN = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()},
+ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(3)),
+rel2 AS (
+  SELECT poly_idx, pix_idx, ix, iy,
+         area / sum(area) OVER (PARTITION BY poly_idx) AS w
+  FROM ov
+),
+vals AS (
+  SELECT r.poly_idx, ts.t, r.pix_idx,
+         {value_sql('r.ix', 'r.iy', 'ts.t')} AS v, r.w
+  FROM rel2 r CROSS JOIN ts
+),
+c AS (
+  SELECT poly_idx, t, v,
+         sum(w) OVER (PARTITION BY poly_idx, t ORDER BY v, pix_idx
+                      ROWS UNBOUNDED PRECEDING) AS cw
+  FROM vals
+),
+c2 AS (SELECT *, max(cw) OVER (PARTITION BY poly_idx, t) AS tw FROM c)
+SELECT poly_idx, t,
+       round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 6) AS value
+FROM c2 GROUP BY poly_idx, t
+"""
+
+
 def q_aggregate_with_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 + R1: additional weight grid (checkerboard (ix+iy)%2 + 0.5) on the
     data grid — w = rel_area * weight, for_loop normalization."""
@@ -1456,6 +1498,88 @@ FROM documents,
 """
 
 
+def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus boilerplate scrub at unit=word: any token in
+    >= 60% of documents (absolute threshold, computed once from the doc
+    count — identical integer arithmetic on both sides) is struck from
+    every document; survivors re-join in original order."""
+    from .operators.text import remove_frequent_units
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    thr = max(2, docs.count() * 3 // 5)
+    return remove_frequent_units(docs, min_doc_count=thr)
+
+
+SQL_BOILERPLATE = """
+WITH u AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS u FROM documents
+),
+freq AS (SELECT u, count(*) AS df FROM u GROUP BY u),
+bp AS (
+  SELECT coalesce(list(u), []) AS bl FROM freq
+  WHERE df >= greatest(2, (SELECT count(*) FROM documents) * 3 // 5)
+)
+SELECT d.doc_id,
+       coalesce(array_to_string(list_filter(string_split(d.text, ' '),
+                                            x -> NOT list_contains(b.bl, x)),
+                                ' '), '') AS clean_text,
+       CAST(len(list_filter(string_split(d.text, ' '),
+                            x -> NOT list_contains(b.bl, x))) AS BIGINT)
+         AS n_kept,
+       CAST(len(string_split(d.text, ' '))
+            - len(list_filter(string_split(d.text, ' '),
+                              x -> NOT list_contains(b.bl, x))) AS BIGINT)
+         AS n_removed
+FROM documents d CROSS JOIN bp b
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics pass: top-5 word bigrams per language by count
+    (skew-safe two-phase ranking; tie-break count desc, ngram asc)."""
+    from .operators.text import ngram_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (ngram_topk(docs, n=2, k=5, by="lang")
+            .select("lang", F.col("rank").cast("long").alias("rank"),
+                    "ngram", "n_occurrences"))
+
+
+SQL_NGRAM_TOPK = """
+WITH w AS (SELECT lang, string_split(text, ' ') AS a FROM documents),
+g AS (SELECT lang, array_to_string(a[i:i+1], ' ') AS ngram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) gs
+      WHERE len(a) >= 2),
+c AS (SELECT lang, ngram, count(*) AS n FROM g GROUP BY lang, ngram),
+r AS (SELECT lang, ngram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, ngram ASC) AS rk
+      FROM c)
+SELECT lang, CAST(rk AS BIGINT) AS rank, ngram,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM r WHERE rk <= 5
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25-per-language deterministic draw (md5-ranked, engine-
+    portable) — the eval-set sampler where Bernoulli jitter is not OK."""
+    from .operators.split import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (stratified_sample(docs, "lang", 25, "doc_id")
+            .select("doc_id", "lang",
+                    F.col("sample_rank").cast("long").alias("sample_rank")))
+
+
+SQL_STRATIFIED = """
+SELECT doc_id, lang, CAST(r AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS r
+  FROM documents) t
+WHERE r <= 25
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1981,6 +2105,10 @@ def all_queries():
         "contamination": q_contamination,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
+        "boilerplate_removed": q_boilerplate_removed,
+        "ngram_topk": q_ngram_topk,
+        "stratified_sample": q_stratified_sample,
+        "aggregate_weighted_median": q_aggregate_weighted_median,
         "sessionize": q_sessionize,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
@@ -2041,6 +2169,10 @@ def all_oracle_sql():
         "contamination": SQL_CONTAMINATION,
         "pack_sequences": SQL_PACK,
         "redact_pii": _sql_redact_pii(),
+        "boilerplate_removed": SQL_BOILERPLATE,
+        "ngram_topk": SQL_NGRAM_TOPK,
+        "stratified_sample": SQL_STRATIFIED,
+        "aggregate_weighted_median": SQL_AGG_MEDIAN,
         "sessionize": SQL_SESSIONIZE,
         "repetition_ratio": SQL_REPETITION,
         "chunk_documents": SQL_CHUNKS,

@@ -230,6 +230,66 @@ def _merge_attrs(res: DataFrame, spark, wm, dims, value_col: str) -> DataFrame:
     return out
 
 
+def aggregate_quantile(pix_values: DataFrame, wm, q: float = 0.5,
+                       dims=("var", "t"), value_col: str = "value",
+                       broadcast_overlaps: bool | None = None) -> DataFrame:
+    """Exact weighted q-quantile per (polygon, *dims) — the zonal-statistic
+    extension beyond the reference's weighted mean (same weight model:
+    w = rel_area * add_weight, reference core.py:716-775).
+
+    Definition (lower weighted quantile, no interpolation, engine-portable):
+    sort the polygon's finite pixel values ascending (ties broken by
+    pix_idx), take the running weight sum cw, and return the first value
+    whose cw >= q * total_weight.  total_weight is computed as max(cw) over
+    the partition — i.e. the SAME left-to-right accumulation that produced
+    cw — so the threshold comparison is internally consistent whatever
+    floating-point association an engine uses for its windowed sums.
+    A flip between engines would need q*total to land within accumulated
+    rounding error (~1e-12 relative) of a cw step (one pixel weight, ~1e-3
+    of total for realistic polygons) — ruled out in practice and pinned by
+    the driver oracle.
+
+    NaN semantics: non-finite values are dropped before ranking (skipna);
+    a (polygon, dims) group with no finite value — and any zero-overlap
+    polygon — comes back NaN via the attr outer-merge (reference J3).
+
+    Physical plan: the same single fact ⨝ overlaps join as `aggregate`
+    (broadcast / bucketed / SHUFFLE_HASH by input shape), then ONE window
+    Exchange+Sort on (poly_idx, *dims) with both window functions and the
+    final min-aggregate riding the same sort — no second shuffle.  At
+    100 TB the partition size is one polygon's pixel count; a continental
+    polygon that overflows a task calls for the percentile_approx sketch
+    instead, not this exact path.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q!r}")
+    from pyspark.sql import Window
+    dims = list(dims)
+    over = wm.overlaps
+    if not wm.has_weights:
+        over = over.withColumn("weight", F.lit(1.0))
+    ov = over.select("poly_idx", "pix_idx",
+                     (F.col("rel_area") * F.col("weight")).alias("_w"))
+    if broadcast_overlaps is None:
+        n_rows = getattr(wm, "n_rows", None)
+        broadcast_overlaps = (n_rows is not None
+                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
+    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
+                                 getattr(wm, "bucketed", False))
+    v = F.col(value_col)
+    finite = joined.filter(_finite(v))
+    w_run = (Window.partitionBy("poly_idx", *dims)
+                   .orderBy(v.asc(), F.col("pix_idx").asc())
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("poly_idx", *dims)
+    ranked = (finite.withColumn("_cw", F.sum("_w").over(w_run))
+                    .withColumn("_tw", F.max(F.col("_cw")).over(w_all)))
+    res = (ranked.groupBy("poly_idx", *dims)
+                 .agg(F.min(F.when(F.col("_cw") >= F.lit(float(q)) * F.col("_tw"), v))
+                       .alias(value_col)))
+    return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
+
+
 def aggregate_pandas(pix_values: DataFrame, wm, dims=("var", "t"),
                      value_col: str = "value") -> pd.DataFrame:
     """Collect the tidy result sorted for parity fixtures."""

@@ -144,6 +144,35 @@ def hash_split(df: DataFrame, id_col: str,
     return df.withColumn("split", expr)
 
 
+def stratified_sample(df: DataFrame, strata_cols, n_per_stratum: int,
+                      id_col: str, salt: str = "") -> DataFrame:
+    """EXACTLY n rows per stratum (fewer when a stratum is smaller) —
+    the eval-set / human-review draw where Bernoulli's +-sqrt(n) jitter
+    is not acceptable.  Deterministic and engine-portable: rows rank by
+    md5(id || salt) hex within each stratum (ties broken by id, so
+    duplicate ids cannot make the draw ambiguous) and ranks 1..n win.
+
+    One Exchange + Sort on the strata key.  The md5 key makes the sort
+    order uniform-random per stratum, so a giant stratum costs its row
+    count in sort, not in skewed collisions; n_per_stratum rows survive
+    per task afterwards.  For very few, very large strata the two-phase
+    trick (_topk_skew_safe) applies — use it when len(strata) is near 1.
+
+    Adds `sample_rank` (1-based within stratum).  Changing `salt`
+    redraws; the draw is stable under any input repartitioning.
+    """
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    if "sample_rank" in df.columns:
+        raise ValueError("input already has a sample_rank column")
+    from pyspark.sql import Window
+    sks = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*sks).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+              .filter(F.col("sample_rank") <= n_per_stratum))
+
+
 def leakage_safe_split(df: DataFrame, id_col: str, components: DataFrame,
                        weights: list[tuple[str, float]] | None = None,
                        salt: str = "") -> DataFrame:

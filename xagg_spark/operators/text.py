@@ -140,6 +140,89 @@ def repetition_ratio(df: DataFrame, text_col: str = "text",
                                      / F.col("n_grams"), 6)))
 
 
+def remove_frequent_units(df: DataFrame, min_doc_count: int,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          delim: str = " ") -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet-style line dedup, applied
+    at unit = `delim`-separated token): a unit is boilerplate iff it
+    occurs in >= min_doc_count DISTINCT documents; every occurrence is
+    struck from every document, remaining units re-joined in original
+    order.  With delim='\\n' this is the classic cross-document duplicated
+    -line scrub; with delim=' ' it is document-frequency stopword removal.
+
+    Plan (100 TB shape): posexplode units -> distinct (unit, doc) ->
+    count = document frequency -> the (small by construction: only units
+    clearing the threshold) boilerplate set BROADCASTs into a left-anti
+    join -> one groupBy(doc) re-assembles with an in-memory
+    array_sort(struct(pos, unit)) — order restored without a window, so
+    the only wide stages are the df-count aggregate and the final
+    re-assembly shuffle.  No Python UDFs anywhere.
+
+    Returns (id_col, clean_text, n_kept, n_removed); documents whose
+    every unit is boilerplate come back with clean_text = ''.
+    """
+    if min_doc_count < 2:
+        raise ValueError("min_doc_count must be >= 2 "
+                         "(1 would strike every unit)")
+    import re as _re
+    units = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim)))
+         .alias("pos", "u"))
+    freq = (units.select(id_col, "u").distinct()
+                 .groupBy("u").agg(F.count(F.lit(1)).alias("df")))
+    boiler = freq.filter(F.col("df") >= min_doc_count).select("u")
+    kept = units.join(F.broadcast(boiler), "u", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+                   .agg(F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("pos", "u"))),
+                                lambda s: s["u"]),
+                            delim).alias("clean_text"),
+                        F.count(F.lit(1)).alias("n_kept")))
+    base = df.select(id_col, F.size(F.split(F.col(text_col),
+                                            _re.escape(delim)))
+                     .cast("long").alias("_n_units"))
+    return (base.join(rebuilt, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                        F.coalesce(F.col("n_kept"), F.lit(0))
+                         .cast("long").alias("n_kept"),
+                        (F.col("_n_units")
+                         - F.coalesce(F.col("n_kept"), F.lit(0)))
+                        .cast("long").alias("n_removed")))
+
+
+def ngram_topk(df: DataFrame, n: int = 2, k: int = 5,
+               by: str = "lang", text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-k word n-grams per group by corpus count — the corpus-statistics
+    pass (vocabulary audit, contamination screening, boilerplate survey)
+    over a whitespace-tokenized corpus.  Word n-grams are built JVM-side
+    (split -> transform(sequence) -> slice/array_join -> explode; no
+    Python); counting is one map-side-combinable hash aggregate; ranking
+    reuses the skew-safe two-phase top-k so a dominant group (one language
+    = most of the corpus) cannot concentrate in a single task.
+    Deterministic tie-break: higher count first, then n-gram string asc.
+    Returns (by, rank, ngram, n_occurrences).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from .similarity import _topk_skew_safe
+    arr = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(arr) - n),
+        lambda i: F.array_join(F.slice(arr, i + 1, n), " "))
+    exploded = (df.filter(F.size(arr) >= n)
+                  .select(F.col(by), F.explode(grams).alias("ngram")))
+    counts = (exploded.groupBy(by, "ngram")
+                      .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    top = _topk_skew_safe(counts, by,
+                          [F.desc("n_occurrences"), F.col("ngram").asc()], k)
+    return top.select(by, "rank", "ngram", "n_occurrences")
+
+
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", size: int = 256,
                     overlap: int = 32) -> DataFrame:
