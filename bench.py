@@ -403,6 +403,32 @@ def run():
                   "files_total": len(imgs_part.inputFiles()),
                   "rows": int(nbbp)}
 
+    # geo_median (round-5 zonal-stat extension): exact area-weighted
+    # median per (polygon, t) — same fact⨝overlaps join as the mean, plus
+    # ONE window Exchange+Sort carrying the running weight sum and the
+    # final min-aggregate.  The weightmap builds once outside the timed
+    # loop (its cost is geo_weightmap); each rep times decode + join +
+    # window + aggregate end-to-end.
+    from xagg_spark.operators import pixel_overlaps as _po_med
+    from xagg_spark.operators.aggregate import aggregate_quantile
+    wm_med = _po_med(spark, grid, polys)
+    ts = []
+    while True:
+        t0 = time.time()
+        cnt = aggregate_quantile(tiles_to_pixels(imgs, grid), wm_med,
+                                 q=0.5, dims=("var", "t")).count()
+        ts.append(time.time() - t0)
+        runs.setdefault("geo_median", []).append(
+            [round(ts[-1], 2), _load1m()])
+        _record("geo_median", ts)
+        if len(ts) >= REPS and not _violates("geo_median"):
+            break
+        if len(ts) >= MAX_REPS:
+            break
+    rows_per_sec["geo_median"] = round(
+        n_geo["overlap_rows"] / max(queries["geo_median"], 1e-3), 0)
+    wm_med.unpersist()
+
     # kNN at 10^4 centers over the 2.88M-pixel grid (cell-ring path)
     from xagg_spark.operators.knn import knn_pixels
     from xagg_spark.operators.overlaps import pixel_geometry

@@ -197,3 +197,39 @@ def test_aggregate_quantile_deterministic_across_parallelism(spark):
     b = (aggregate_quantile(facts.repartition(13), wm, q=0.5)
          .toPandas()["value"].iloc[0])
     assert a == b
+
+
+def test_aggregate_quantiles_one_pass_matches_single_q(spark):
+    from xagg_spark.operators.aggregate import (aggregate_quantile,
+                                                aggregate_quantiles)
+    rng = np.random.RandomState(3)
+    vals = rng.rand(48) * 50
+    wts = rng.rand(48) + 0.01
+    wm, facts = _toy_wm_and_facts(spark, vals, wts)
+    qs = [0.25, 0.5, 0.75, 1.0]
+    multi = (aggregate_quantiles(facts, wm, qs)
+             .orderBy("q").toPandas())
+    assert list(multi["q"]) == qs
+    for q in qs:
+        single = (aggregate_quantile(facts, wm, q=q)
+                  .toPandas()["value"].iloc[0])
+        got = multi[multi["q"] == q]["value"].iloc[0]
+        assert got == single, (q, got, single)
+    # zero-overlap polygon gets NaN for EVERY q via the attr outer-merge
+    from xagg_spark.polygons import PolygonSet, rect_ring
+    wm.polys = PolygonSet([rect_ring(0, 0, 1, 1), rect_ring(2, 2, 3, 3)],
+                          pd.DataFrame({"name": ["p0", "p1"]}))
+    out = (aggregate_quantiles(facts, wm, qs)
+           .filter(F.col("poly_idx") == 1).toPandas())
+    assert len(out) == len(qs) and out["value"].isna().all()
+
+
+def test_aggregate_quantiles_validation(spark):
+    from xagg_spark.operators.aggregate import aggregate_quantiles
+    wm, facts = _toy_wm_and_facts(spark, [1.0], [1.0])
+    with pytest.raises(ValueError, match="non-empty"):
+        aggregate_quantiles(facts, wm, [])
+    with pytest.raises(ValueError, match="every q"):
+        aggregate_quantiles(facts, wm, [0.5, 1.2])
+    with pytest.raises(ValueError, match="duplicates"):
+        aggregate_quantiles(facts, wm, [0.5, 0.5])

@@ -290,6 +290,57 @@ def aggregate_quantile(pix_values: DataFrame, wm, q: float = 0.5,
     return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
 
+def aggregate_quantiles(pix_values: DataFrame, wm, qs,
+                        dims=("var", "t"), value_col: str = "value",
+                        broadcast_overlaps: bool | None = None) -> DataFrame:
+    """Several exact weighted quantiles in ONE pass: same single window
+    Exchange+Sort as `aggregate_quantile`, with one conditional-min
+    aggregate column per requested q, stacked to long form afterwards
+    (the stack runs on the tiny polys x dims result, not the fact).
+    Returns (poly_idx, *attrs, *dims, q, value) — one row per quantile.
+    """
+    qs = [float(x) for x in qs]
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for x in qs:
+        if not (0.0 < x <= 1.0):
+            raise ValueError(f"every q must be in (0, 1], got {x!r}")
+    if len(set(qs)) != len(qs):
+        raise ValueError("qs contains duplicates")
+    from pyspark.sql import Window
+    dims = list(dims)
+    over = wm.overlaps
+    if not wm.has_weights:
+        over = over.withColumn("weight", F.lit(1.0))
+    ov = over.select("poly_idx", "pix_idx",
+                     (F.col("rel_area") * F.col("weight")).alias("_w"))
+    if broadcast_overlaps is None:
+        n_rows = getattr(wm, "n_rows", None)
+        broadcast_overlaps = (n_rows is not None
+                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
+    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
+                                 getattr(wm, "bucketed", False))
+    v = F.col(value_col)
+    finite = joined.filter(_finite(v))
+    w_run = (Window.partitionBy("poly_idx", *dims)
+                   .orderBy(v.asc(), F.col("pix_idx").asc())
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("poly_idx", *dims)
+    ranked = (finite.withColumn("_cw", F.sum("_w").over(w_run))
+                    .withColumn("_tw", F.max(F.col("_cw")).over(w_all)))
+    aggs = [F.min(F.when(F.col("_cw") >= F.lit(x) * F.col("_tw"), v))
+             .alias(f"_q{i}") for i, x in enumerate(qs)]
+    wide = ranked.groupBy("poly_idx", *dims).agg(*aggs)
+    pairs = ", ".join(f"CAST({x!r} AS DOUBLE), _q{i}"
+                      for i, x in enumerate(qs))
+    res = wide.select(
+        "poly_idx", *dims,
+        F.expr(f"stack({len(qs)}, {pairs}) AS (q, {value_col})"))
+    out = _merge_attrs(res, pix_values.sparkSession, wm, dims + ["q"],
+                       value_col)
+    return out
+
+
 def aggregate_pandas(pix_values: DataFrame, wm, dims=("var", "t"),
                      value_col: str = "value") -> pd.DataFrame:
     """Collect the tidy result sorted for parity fixtures."""
