@@ -413,18 +413,14 @@ def run():
     from xagg_spark.operators.aggregate import aggregate_quantile
     wm_med = _po_med(spark, grid, polys)
     ts = []
-    while True:
-        t0 = time.time()
+    for _ in range(REPS):   # no R1_REF entry -> the adaptive self-check
+        t0 = time.time()    # can't trigger; fixed min-of-REPS like bbox
         cnt = aggregate_quantile(tiles_to_pixels(imgs, grid), wm_med,
                                  q=0.5, dims=("var", "t")).count()
         ts.append(time.time() - t0)
         runs.setdefault("geo_median", []).append(
             [round(ts[-1], 2), _load1m()])
-        _record("geo_median", ts)
-        if len(ts) >= REPS and not _violates("geo_median"):
-            break
-        if len(ts) >= MAX_REPS:
-            break
+    _record("geo_median", ts)
     rows_per_sec["geo_median"] = round(
         n_geo["overlap_rows"] / max(queries["geo_median"], 1e-3), 0)
     wm_med.unpersist()

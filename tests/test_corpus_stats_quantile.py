@@ -233,3 +233,28 @@ def test_aggregate_quantiles_validation(spark):
         aggregate_quantiles(facts, wm, [0.5, 1.2])
     with pytest.raises(ValueError, match="duplicates"):
         aggregate_quantiles(facts, wm, [0.5, 0.5])
+
+
+def test_aggregate_quantile_promotes_missing_var_like_aggregate(spark):
+    from xagg_spark.operators.aggregate import (aggregate_quantile,
+                                                aggregate_quantiles)
+    wm, facts = _toy_wm_and_facts(spark, [1.0, 2.0, 3.0], [1.0, 1.0, 1.0])
+    bare = facts.drop("var")
+    with pytest.warns(UserWarning, match="no 'var' column"):
+        out = aggregate_quantile(bare, wm, q=0.5).toPandas()
+    assert out["var"].iloc[0] == "var" and out["value"].iloc[0] == 2.0
+    with pytest.warns(UserWarning, match="no 'var' column"):
+        out2 = aggregate_quantiles(bare, wm, [0.5]).toPandas()
+    assert out2["value"].iloc[0] == 2.0
+
+
+def test_aggregate_quantiles_odd_value_col_and_q_collision(spark):
+    from xagg_spark.operators.aggregate import aggregate_quantiles
+    wm, facts = _toy_wm_and_facts(spark, [1.0, 2.0, 3.0], [1.0, 1.0, 1.0])
+    odd = facts.withColumnRenamed("value", "my value")
+    out = (aggregate_quantiles(odd, wm, [0.5], value_col="my value")
+           .toPandas())
+    assert out["my value"].iloc[0] == 2.0
+    with pytest.raises(ValueError, match="'q' is the quantile"):
+        aggregate_quantiles(facts.withColumnRenamed("value", "q"), wm,
+                            [0.5], value_col="q")

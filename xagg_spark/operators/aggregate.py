@@ -118,15 +118,7 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     if silent is None:
         silent = get_options()["silent"]
 
-    # DataArray-promotion facade (reference wrappers.py:80-84 /
-    # core.py:686-692): a fact table without the variable column is an
-    # "unnamed DataArray" — promote it to a single variable named 'var'
-    dims = list(dims)
-    if "var" in dims and "var" not in pix_values.columns:
-        import warnings
-        warnings.warn("input has no 'var' column (unnamed-DataArray analog); "
-                      "the output variable will be \"var\"")
-        pix_values = pix_values.withColumn("var", F.lit("var"))
+    pix_values, dims = _promote_var(pix_values, dims)
     if not silent:
         print(f"aggregating variables (impl={impl})...")
     dims = list(dims)
@@ -263,8 +255,37 @@ def aggregate_quantile(pix_values: DataFrame, wm, q: float = 0.5,
     """
     if not (0.0 < q <= 1.0):
         raise ValueError(f"q must be in (0, 1], got {q!r}")
-    from pyspark.sql import Window
+    pix_values, dims = _promote_var(pix_values, dims)
+    ranked = _ranked_by_weight(pix_values, wm, dims, value_col,
+                               broadcast_overlaps)
+    v = F.col(value_col)
+    res = (ranked.groupBy("poly_idx", *dims)
+                 .agg(F.min(F.when(F.col("_cw") >= F.lit(float(q)) * F.col("_tw"), v))
+                       .alias(value_col)))
+    return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
+
+
+def _promote_var(pix_values: DataFrame, dims) -> tuple:
+    """DataArray-promotion facade shared by every zonal-stat entry point
+    (reference wrappers.py:80-84 / core.py:686-692): a fact table without
+    the variable column is an "unnamed DataArray" — promote it to a single
+    variable named 'var' with the reference's warning."""
     dims = list(dims)
+    if "var" in dims and "var" not in pix_values.columns:
+        import warnings
+        warnings.warn("input has no 'var' column (unnamed-DataArray analog); "
+                      "the output variable will be \"var\"")
+        pix_values = pix_values.withColumn("var", F.lit("var"))
+    return pix_values, dims
+
+
+def _ranked_by_weight(pix_values: DataFrame, wm, dims, value_col: str,
+                      broadcast_overlaps: bool | None) -> DataFrame:
+    """Shared quantile machinery: fact ⨝ overlaps (strategy by input
+    shape), finite filter, running weight sum `_cw` over (value, pix_idx)
+    asc within (poly_idx, *dims), and the partition total `_tw` = max of
+    the SAME accumulation — one window Exchange+Sort carries everything."""
+    from pyspark.sql import Window
     over = wm.overlaps
     if not wm.has_weights:
         over = over.withColumn("weight", F.lit(1.0))
@@ -282,12 +303,8 @@ def aggregate_quantile(pix_values: DataFrame, wm, q: float = 0.5,
                    .orderBy(v.asc(), F.col("pix_idx").asc())
                    .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = Window.partitionBy("poly_idx", *dims)
-    ranked = (finite.withColumn("_cw", F.sum("_w").over(w_run))
-                    .withColumn("_tw", F.max(F.col("_cw")).over(w_all)))
-    res = (ranked.groupBy("poly_idx", *dims)
-                 .agg(F.min(F.when(F.col("_cw") >= F.lit(float(q)) * F.col("_tw"), v))
-                       .alias(value_col)))
-    return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
+    return (finite.withColumn("_cw", F.sum("_w").over(w_run))
+                  .withColumn("_tw", F.max(F.col("_cw")).over(w_all)))
 
 
 def aggregate_quantiles(pix_values: DataFrame, wm, qs,
@@ -307,38 +324,27 @@ def aggregate_quantiles(pix_values: DataFrame, wm, qs,
             raise ValueError(f"every q must be in (0, 1], got {x!r}")
     if len(set(qs)) != len(qs):
         raise ValueError("qs contains duplicates")
-    from pyspark.sql import Window
-    dims = list(dims)
-    over = wm.overlaps
-    if not wm.has_weights:
-        over = over.withColumn("weight", F.lit(1.0))
-    ov = over.select("poly_idx", "pix_idx",
-                     (F.col("rel_area") * F.col("weight")).alias("_w"))
-    if broadcast_overlaps is None:
-        n_rows = getattr(wm, "n_rows", None)
-        broadcast_overlaps = (n_rows is not None
-                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
-    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
-                                 getattr(wm, "bucketed", False))
+    if value_col == "q" or "q" in dims:
+        raise ValueError("'q' is the quantile output column — rename "
+                         "value_col / dims")
+    pix_values, dims = _promote_var(pix_values, dims)
+    ranked = _ranked_by_weight(pix_values, wm, dims, value_col,
+                               broadcast_overlaps)
     v = F.col(value_col)
-    finite = joined.filter(_finite(v))
-    w_run = (Window.partitionBy("poly_idx", *dims)
-                   .orderBy(v.asc(), F.col("pix_idx").asc())
-                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = Window.partitionBy("poly_idx", *dims)
-    ranked = (finite.withColumn("_cw", F.sum("_w").over(w_run))
-                    .withColumn("_tw", F.max(F.col("_cw")).over(w_all)))
     aggs = [F.min(F.when(F.col("_cw") >= F.lit(x) * F.col("_tw"), v))
              .alias(f"_q{i}") for i, x in enumerate(qs)]
     wide = ranked.groupBy("poly_idx", *dims).agg(*aggs)
-    pairs = ", ".join(f"CAST({x!r} AS DOUBLE), _q{i}"
-                      for i, x in enumerate(qs))
-    res = wide.select(
-        "poly_idx", *dims,
-        F.expr(f"stack({len(qs)}, {pairs}) AS (q, {value_col})"))
-    out = _merge_attrs(res, pix_values.sparkSession, wm, dims + ["q"],
-                       value_col)
-    return out
+    # melt wide -> long with explode over literal (q, value) structs — no
+    # SQL-string interpolation, so any legal column name works unchanged
+    melted = F.explode(F.array(*[
+        F.struct(F.lit(x).cast("double").alias("q"),
+                 F.col(f"_q{i}").alias(value_col))
+        for i, x in enumerate(qs)])).alias("_s")
+    res = (wide.select("poly_idx", *dims, melted)
+               .select("poly_idx", *dims, F.col("_s.q").alias("q"),
+                       F.col("_s").getField(value_col).alias(value_col)))
+    return _merge_attrs(res, pix_values.sparkSession, wm, dims + ["q"],
+                        value_col)
 
 
 def aggregate_pandas(pix_values: DataFrame, wm, dims=("var", "t"),

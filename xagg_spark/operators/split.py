@@ -149,8 +149,10 @@ def stratified_sample(df: DataFrame, strata_cols, n_per_stratum: int,
     """EXACTLY n rows per stratum (fewer when a stratum is smaller) —
     the eval-set / human-review draw where Bernoulli's +-sqrt(n) jitter
     is not acceptable.  Deterministic and engine-portable: rows rank by
-    md5(id || salt) hex within each stratum (ties broken by id, so
-    duplicate ids cannot make the draw ambiguous) and ranks 1..n win.
+    md5(id || salt) hex within each stratum and ranks 1..n win.  Rows
+    with EQUAL ids share a sort key, which makes the draw among them
+    ambiguous (and id-NULL rows sort first) — dedup on id_col first, the
+    same contract as `hash_split` / `mixture_sample`.
 
     One Exchange + Sort on the strata key.  The md5 key makes the sort
     order uniform-random per stratum, so a giant stratum costs its row

@@ -151,12 +151,16 @@ def remove_frequent_units(df: DataFrame, min_doc_count: int,
     -line scrub; with delim=' ' it is document-frequency stopword removal.
 
     Plan (100 TB shape): posexplode units -> distinct (unit, doc) ->
-    count = document frequency -> the (small by construction: only units
-    clearing the threshold) boilerplate set BROADCASTs into a left-anti
-    join -> one groupBy(doc) re-assembles with an in-memory
+    count = document frequency -> left-anti join against the boilerplate
+    set -> one groupBy(doc) re-assembles with an in-memory
     array_sort(struct(pos, unit)) — order restored without a window, so
     the only wide stages are the df-count aggregate and the final
-    re-assembly shuffle.  No Python UDFs anywhere.
+    re-assembly shuffle.  No Python UDFs anywhere.  The anti-join is NOT
+    hint-forced to broadcast: at realistic thresholds the boilerplate set
+    is tiny and AQE converts the join to broadcast from its measured
+    size, but a low min_doc_count on a big corpus makes the set most of
+    the vocabulary — size-based planning must stay in charge or the
+    forced broadcast OOMs.
 
     Returns (id_col, clean_text, n_kept, n_removed); documents whose
     every unit is boilerplate come back with clean_text = ''.
@@ -172,7 +176,7 @@ def remove_frequent_units(df: DataFrame, min_doc_count: int,
     freq = (units.select(id_col, "u").distinct()
                  .groupBy("u").agg(F.count(F.lit(1)).alias("df")))
     boiler = freq.filter(F.col("df") >= min_doc_count).select("u")
-    kept = units.join(F.broadcast(boiler), "u", "left_anti")
+    kept = units.join(boiler, "u", "left_anti")
     rebuilt = (kept.groupBy(id_col)
                    .agg(F.array_join(
                             F.transform(
@@ -195,8 +199,7 @@ def remove_frequent_units(df: DataFrame, min_doc_count: int,
 
 
 def ngram_topk(df: DataFrame, n: int = 2, k: int = 5,
-               by: str = "lang", text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               by: str = "lang", text_col: str = "text") -> DataFrame:
     """Top-k word n-grams per group by corpus count — the corpus-statistics
     pass (vocabulary audit, contamination screening, boilerplate survey)
     over a whitespace-tokenized corpus.  Word n-grams are built JVM-side
