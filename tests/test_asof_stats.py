@@ -1,0 +1,114 @@
+"""Tests for the as-of join and the one-pass weighted zonal stats."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from tests.test_corpus_stats_quantile import _toy_wm_and_facts
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(5), "event_id": 100},
+        {"user_id": 1, "ts": _ts(10), "event_id": 101},
+        {"user_id": 1, "ts": _ts(2), "event_id": 102},   # before any right
+        {"user_id": 2, "ts": _ts(7), "event_id": 200},   # equal-ts match
+        {"user_id": 3, "ts": _ts(9), "event_id": 300},   # key with no right
+    ]))
+    right = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(3), "value": 30.0},
+        {"user_id": 1, "ts": _ts(8), "value": 80.0},
+        {"user_id": 2, "ts": _ts(7), "value": 70.0},
+    ]))
+    return left, right
+
+
+def test_asof_join_backward_inclusive_matches_pandas(spark):
+    from xagg_spark.operators.sessions import asof_join
+    left, right = _frames(spark)
+    out = (asof_join(left, right).orderBy("event_id").toPandas())
+    got = dict(zip(out["event_id"], out["value_r"]))
+    assert got[100] == 30.0          # latest right <= ts(5) is ts(3)
+    assert got[101] == 80.0
+    assert np.isnan(got[102])        # nothing at or before ts(2)
+    assert got[200] == 70.0          # equal ts is INCLUSIVE
+    assert np.isnan(got[300])        # key absent from right
+    # matched right timestamp comes through; unmatched is NaT
+    ts_r = dict(zip(out["event_id"], out["ts_r"]))
+    assert ts_r[101] == _ts(8) and pd.isna(ts_r[102])
+    # pandas merge_asof agrees on the matched values
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    ref = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    ref_map = dict(zip(ref["event_id"], ref["value"]))
+    for eid, v in got.items():
+        assert (np.isnan(v) and np.isnan(ref_map[eid])) or v == ref_map[eid]
+
+
+def test_asof_join_tolerance_and_repartition_stability(spark):
+    from xagg_spark.operators.sessions import asof_join
+    left, right = _frames(spark)
+    # tolerance is INCLUSIVE (diff <= tol survives): both matches sit at
+    # exactly 2s staleness, the equal-ts match at 0s
+    out = (asof_join(left, right, tolerance_seconds=2.0)
+           .orderBy("event_id").toPandas())
+    got = dict(zip(out["event_id"], out["value_r"]))
+    assert got[100] == 30.0 and got[101] == 80.0 and got[200] == 70.0
+    tight = (asof_join(left, right, tolerance_seconds=1.0)
+             .orderBy("event_id").toPandas())
+    got_t = dict(zip(tight["event_id"], tight["value_r"]))
+    assert np.isnan(got_t[100]) and np.isnan(got_t[101])   # 2s stale > 1s
+    assert got_t[200] == 70.0                              # 0s stale
+    assert pd.isna(dict(zip(tight["event_id"], tight["ts_r"]))[100])
+    out2 = (asof_join(left.repartition(5), right.repartition(3))
+            .orderBy("event_id").toPandas())
+    base = (asof_join(left, right).orderBy("event_id").toPandas())
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+def test_asof_join_guards(spark):
+    from xagg_spark.operators.sessions import asof_join
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="value_cols"):
+        asof_join(left, right, value_cols=())
+    with pytest.raises(ValueError, match="tolerance_seconds"):
+        asof_join(left, right, tolerance_seconds=-1)
+    with pytest.raises(ValueError, match="right side lacks"):
+        asof_join(left, right, value_cols=("nope",))
+    with pytest.raises(ValueError, match="different suffix"):
+        asof_join(left.withColumn("value_r", F.lit(1.0)), right)
+
+
+def test_aggregate_stats_matches_numpy(spark):
+    from xagg_spark.operators.aggregate import aggregate_stats
+    rng = np.random.RandomState(5)
+    vals = rng.rand(50) * 100
+    wts = rng.rand(50) + 0.01
+    wm, facts = _toy_wm_and_facts(spark, vals, wts)
+    out = aggregate_stats(facts, wm).toPandas().iloc[0]
+    w = wts / wts.sum()
+    mean = float((w * vals).sum() / w.sum())
+    var = float((w * vals * vals).sum() / w.sum() - mean * mean)
+    assert out["mean"] == pytest.approx(mean, rel=1e-12)
+    assert out["variance"] == pytest.approx(var, rel=1e-9)
+    assert out["min"] == vals.min() and out["max"] == vals.max()
+    assert out["n_valid"] == 50
+
+
+def test_aggregate_stats_nan_and_collision_guard(spark):
+    from xagg_spark.operators.aggregate import aggregate_stats
+    wm, facts = _toy_wm_and_facts(
+        spark, [10.0, np.nan, 30.0], [1.0, 1.0, 1.0])
+    out = aggregate_stats(facts, wm).toPandas().iloc[0]
+    assert out["n_valid"] == 2 and out["min"] == 10.0 and out["max"] == 30.0
+    with pytest.raises(ValueError, match="stat output"):
+        aggregate_stats(facts.withColumnRenamed("t", "mean"), wm,
+                        dims=("var", "mean"))

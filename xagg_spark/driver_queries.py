@@ -1459,6 +1459,85 @@ FROM m
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward inclusive as-of join on the events stream: every click
+    picks up the latest view (per user) at or before it — DuckDB's
+    native ASOF LEFT JOIN is the oracle, the engine's union+window
+    carry-forward must agree row-for-row.  The right side is deduped to
+    one row per (user, ts) first (the contract both engines share)."""
+    from .operators.sessions import asof_join, _ts_micros
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts", "event_id"))
+    wdd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (ev.filter(F.col("event_type") == "view")
+               .withColumn("_rn", F.row_number().over(wdd))
+               .filter(F.col("_rn") == 1)
+               .select("user_id", "ts", "value"))
+    out = asof_join(clicks, views, ts_col="ts", by="user_id",
+                    value_cols=("value",))
+    return out.select(
+        "event_id", "user_id",
+        F.round("value_r", 6).alias("value_r"),
+        _ts_micros(out, "ts_r").cast("long").alias("ts_r_us"))
+
+
+SQL_ASOF = """
+WITH l AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') t WHERE rn = 1)
+SELECT l.event_id, l.user_id, round(r.value, 6) AS value_r,
+       CAST(epoch_us(r.ts) AS BIGINT) AS ts_r_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_aggregate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass weighted zonal summary per (polygon, t): mean, population
+    variance, min, max, count of finite terms — one hash aggregate over
+    the same fact join, no window.  mean/var are weight-SCALE-invariant,
+    so the oracle weights by raw analytic area while the engine uses the
+    normalized rel_area; var rounds at 4dp (the E[x^2]-E[x]^2 form
+    amplifies accumulated rounding ~4x against an ~800-scale result)."""
+    from .operators import tiles_to_pixels
+    from .operators.aggregate import aggregate_stats
+    wm = _wm(spark)
+    imgs = generate_spark(spark, QGRID, variables=("test",), ntime=3,
+                          fmt="raw32")
+    pix = tiles_to_pixels(imgs, QGRID)
+    out = aggregate_stats(pix, wm, dims=("var", "t"))
+    return out.select("poly_idx", F.col("t").cast("long").alias("t"),
+                      F.round("mean", 6).alias("mean"),
+                      F.round("variance", 4).alias("variance"),
+                      F.round("min", 6).alias("vmin"),
+                      F.round("max", 6).alias("vmax"),
+                      "n_valid")
+
+
+SQL_AGG_STATS = f"""
+WITH {PIX_CTE.strip()}, {POLY_CTE.strip()}, {OV_CTE.strip()},
+ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(3)),
+vals AS (
+  SELECT o.poly_idx, ts.t, {value_sql('o.ix', 'o.iy', 'ts.t')} AS v,
+         o.area AS w
+  FROM ov o CROSS JOIN ts
+)
+SELECT poly_idx, t,
+       round(sum(v * w) / sum(w), 6) AS mean,
+       round(greatest(sum(v * v * w) / sum(w)
+                      - (sum(v * w) / sum(w)) * (sum(v * w) / sum(w)),
+                      0.0), 4) AS variance,
+       round(min(v), 6) AS vmin,
+       round(max(v), 6) AS vmax,
+       CAST(count(*) AS BIGINT) AS n_valid
+FROM vals GROUP BY poly_idx, t
+"""
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition: fraction of character
     3-grams that are repeats."""
@@ -2109,6 +2188,8 @@ def all_queries():
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
         "aggregate_weighted_median": q_aggregate_weighted_median,
+        "aggregate_stats": q_aggregate_stats,
+        "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
@@ -2173,6 +2254,8 @@ def all_oracle_sql():
         "ngram_topk": SQL_NGRAM_TOPK,
         "stratified_sample": SQL_STRATIFIED,
         "aggregate_weighted_median": SQL_AGG_MEDIAN,
+        "aggregate_stats": SQL_AGG_STATS,
+        "asof_join": SQL_ASOF,
         "sessionize": SQL_SESSIONIZE,
         "repetition_ratio": SQL_REPETITION,
         "chunk_documents": SQL_CHUNKS,

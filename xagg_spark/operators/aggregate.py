@@ -201,10 +201,13 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
 
-def _merge_attrs(res: DataFrame, spark, wm, dims, value_col: str) -> DataFrame:
+def _merge_attrs(res: DataFrame, spark, wm, dims, value_col) -> DataFrame:
     """Outer merge onto polygon attrs (reference J3, core.py:533-538): keep
     zero-overlap polygons with NaN values for every dim combination.
-    dim_space comes from the (tiny) result, not another fact-table scan."""
+    dim_space comes from the (tiny) result, not another fact-table scan.
+    value_col: one column name or a list (multi-stat results) — every
+    listed DOUBLE column gets the NaN fill; other types keep NULL."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     attrs = spark.createDataFrame(wm.polys.attrs)
     # materialize the (tiny: polys x dims) result ONCE before it fans out
     # into the dim-space branch and the final join — otherwise the two
@@ -215,10 +218,12 @@ def _merge_attrs(res: DataFrame, spark, wm, dims, value_col: str) -> DataFrame:
     res = res.localCheckpoint(eager=True)
     dim_space = res.select(*dims).distinct()
     full = F.broadcast(attrs).crossJoin(F.broadcast(dim_space))
-    out = (full.join(res, on=["poly_idx"] + list(dims), how="left")
-               .withColumn(value_col,
-                           F.when(F.col(value_col).isNull(), _nan())
-                            .otherwise(F.col(value_col))))
+    out = full.join(res, on=["poly_idx"] + list(dims), how="left")
+    fillable = {c for c, t in res.dtypes if t == "double"}
+    for vc in value_cols:
+        if vc in fillable:
+            out = out.withColumn(vc, F.when(F.col(vc).isNull(), _nan())
+                                      .otherwise(F.col(vc)))
     return out
 
 
@@ -345,6 +350,59 @@ def aggregate_quantiles(pix_values: DataFrame, wm, qs,
                        F.col("_s").getField(value_col).alias(value_col)))
     return _merge_attrs(res, pix_values.sparkSession, wm, dims + ["q"],
                         value_col)
+
+
+def aggregate_stats(pix_values: DataFrame, wm, dims=("var", "t"),
+                    value_col: str = "value",
+                    broadcast_overlaps: bool | None = None) -> DataFrame:
+    """One-pass weighted summary statistics per (polygon, *dims):
+    weighted mean, weighted POPULATION variance (E[x^2]-E[x]^2 over the
+    weight measure, clamped at 0 against rounding), min, max, and the
+    count of finite pixel terms — the zonal-stats report card beside the
+    reference's single mean.
+
+    Everything comes out of ONE map-side-combinable hash aggregate over
+    the same fact ⨝ overlaps join as `aggregate` (broadcast / bucketed /
+    SHUFFLE_HASH by input shape) — no window, no second shuffle, so this
+    is strictly cheaper than the quantile path at any scale.  NaN terms
+    drop (skipna); a group with no finite value — and any zero-overlap
+    polygon — comes back NaN via the attr outer-merge.
+    Returns (poly_idx, *attrs, *dims, mean, variance, min, max, n_valid).
+    """
+    pix_values, dims = _promote_var(pix_values, dims)
+    stat_cols = {"mean", "variance", "min", "max", "n_valid"}
+    clash = stat_cols.intersection(dims) | ({value_col} & stat_cols)
+    if clash:
+        raise ValueError(f"dims/value_col collide with the stat output "
+                         f"column(s) {sorted(clash)} — rename them")
+    over = wm.overlaps
+    if not wm.has_weights:
+        over = over.withColumn("weight", F.lit(1.0))
+    ov = over.select("poly_idx", "pix_idx",
+                     (F.col("rel_area") * F.col("weight")).alias("_w"))
+    if broadcast_overlaps is None:
+        n_rows = getattr(wm, "n_rows", None)
+        broadcast_overlaps = (n_rows is not None
+                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
+    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
+                                 getattr(wm, "bucketed", False))
+    v = F.col(value_col)
+    finite = joined.filter(_finite(v))
+    agg = (finite.groupBy("poly_idx", *dims)
+                 .agg(F.sum("_w").alias("_sw"),
+                      F.sum(v * F.col("_w")).alias("_swv"),
+                      F.sum(v * v * F.col("_w")).alias("_swv2"),
+                      F.min(v).alias("min"),
+                      F.max(v).alias("max"),
+                      F.count(F.lit(1)).alias("n_valid")))
+    mean = F.col("_swv") / F.col("_sw")
+    res = (agg.withColumn("mean", mean)
+              .withColumn("variance", F.greatest(
+                  F.col("_swv2") / F.col("_sw") - mean * mean, F.lit(0.0)))
+              .select("poly_idx", *dims, "mean", "variance", "min", "max",
+                      F.col("n_valid").cast("long").alias("n_valid")))
+    return _merge_attrs(res, pix_values.sparkSession, wm, dims,
+                        ["mean", "variance", "min", "max"])
 
 
 def aggregate_pandas(pix_values: DataFrame, wm, dims=("var", "t"),

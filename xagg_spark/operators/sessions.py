@@ -50,3 +50,96 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
               .withColumn("session_idx",
                           (F.sum("_is_new").over(wcum) - 1).cast("long"))
               .drop("_is_new"))
+
+
+def _ts_micros(df: DataFrame, ts_col: str):
+    """Exact integer microseconds for both timestamp flavors (shared
+    with sessionize): NTZ via wall-clock timestampdiff, TZ via
+    unix_micros."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)")
+    return F.unix_micros(F.col(ts_col))
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
+              by: str = "user_id", value_cols=("value",),
+              tolerance_seconds: float | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Backward inclusive as-of join: every left row picks up the right
+    row with the LARGEST right.ts <= left.ts for the same `by` key —
+    the quotes-to-trades / state-at-event-time align Spark has no
+    built-in for.  Matches DuckDB's native `ASOF LEFT JOIN ... ON
+    l.by = r.by AND l.ts >= r.ts` (the oracle) and pandas
+    `merge_asof(direction='backward')`.
+
+    NOT implemented as a range join (O(n*m) per key at worst): both
+    sides union with a source tag and ONE window pass per key carries
+    the last-seen right payload forward — a single hash Exchange + Sort
+    on (`by`), linear in rows, the 10^12-row shape.  A hot key
+    concentrates its rows in one task (same caveat as sessionize).
+
+    Ordering at equal timestamps: right rows sort BEFORE left rows at
+    the same ts (inclusive semantics).  Rows with equal (by, ts) on the
+    RIGHT side make the pick among them ambiguous — deduplicate the
+    right side to one row per (by, ts) first (same contract as DuckDB
+    ASOF, which is defined on unique right timestamps).
+
+    `tolerance_seconds` nulls the carried payload when the match is
+    staler than the window (exact integer-microsecond comparison,
+    engine-portable).  Output: every left row/column plus one
+    `<col><suffix>` per value col and `<ts_col><suffix>` (the matched
+    right timestamp, NULL when no match / out of tolerance).
+    """
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError("tolerance_seconds must be >= 0")
+    clash = {f"{c}{suffix}" for c in value_cols + [ts_col]}
+    clash &= set(left.columns)
+    if clash:
+        raise ValueError(f"left already has column(s) {sorted(clash)} — "
+                         "pass a different suffix")
+    for c in (by, ts_col, *value_cols):
+        if c not in right.columns:
+            raise ValueError(f"right side lacks column {c!r}")
+    left_rest = [c for c in left.columns if c not in (by, ts_col)]
+    # union schema: by, ts, _src, left payload (NULL on right rows),
+    # right payload + right ts (NULL on left rows)
+    lv = left.select(
+        F.col(by), F.col(ts_col), F.lit(1).alias("_src"),
+        *[F.col(c) for c in left_rest],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias(f"{ts_col}{suffix}"))
+    rv = right.select(
+        F.col(by), F.col(ts_col), F.lit(0).alias("_src"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left_rest],
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"))
+    u = lv.unionByName(rv)
+    w = (Window.partitionBy(by).orderBy(F.col(ts_col).asc(),
+                                        F.col("_src").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+                .alias(f"{c}{suffix}") for c in value_cols + [ts_col]]
+    out = (u.select(by, ts_col, "_src", *left_rest, *carried)
+            .filter(F.col("_src") == 1).drop("_src"))
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        lts = _ts_micros(out, ts_col)
+        rts_col = f"{ts_col}{suffix}"
+        if dict(out.dtypes).get(rts_col) == "timestamp_ntz":
+            rts = F.expr(f"timestampdiff(MICROSECOND, "
+                         f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{rts_col}`)")
+        else:
+            rts = F.unix_micros(F.col(rts_col))
+        stale = rts.isNull() | ((lts - rts) > tol_us)
+        for c in value_cols + [ts_col]:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")))
+    return out.select(*left.columns,
+                      *[f"{c}{suffix}" for c in value_cols + [ts_col]])
