@@ -112,3 +112,50 @@ def test_aggregate_stats_nan_and_collision_guard(spark):
     with pytest.raises(ValueError, match="stat output"):
         aggregate_stats(facts.withColumnRenamed("t", "mean"), wm,
                         dims=("var", "mean"))
+
+
+def test_rolling_stats_matches_pandas_and_is_tie_safe(spark):
+    from xagg_spark.operators.sessions import rolling_stats
+    rows = [
+        {"user_id": 1, "ts": _ts(0), "event_id": 0, "value": 10.0},
+        {"user_id": 1, "ts": _ts(4), "event_id": 1, "value": 20.0},
+        {"user_id": 1, "ts": _ts(4), "event_id": 2, "value": 30.0},  # tie
+        {"user_id": 1, "ts": _ts(9), "event_id": 3, "value": 40.0},
+        {"user_id": 2, "ts": _ts(1), "event_id": 4, "value": 5.0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = (rolling_stats(df, "user_id", "ts", "value", window_seconds=5.0)
+           .orderBy("event_id").toPandas())
+    got = dict(zip(out["event_id"], zip(out["roll_sum"], out["roll_n"])))
+    assert got[0] == (10.0, 1)
+    # RANGE frame: BOTH tied rows see each other AND the t=0 row (4-5<=0)
+    assert got[1] == (60.0, 3) and got[2] == (60.0, 3)
+    assert got[3] == (90.0, 3)          # t in [4, 9]: 20+30+40
+    assert got[4] == (5.0, 1)
+    # tie order cannot matter: repartition + reversed input give same rows
+    out2 = (rolling_stats(df.orderBy(F.desc("event_id")).repartition(4),
+                          "user_id", "ts", "value", window_seconds=5.0)
+            .orderBy("event_id").toPandas())
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+    with pytest.raises(ValueError, match="window_seconds"):
+        rolling_stats(df, "user_id", "ts", window_seconds=0)
+    with pytest.raises(ValueError, match="reserved"):
+        rolling_stats(df.withColumn("roll_n", F.lit(1)), "user_id", "ts")
+
+
+def test_asof_and_rolling_plan_shape(spark):
+    """Both event-time operators must plan as ONE data Exchange + Sort
+    with the window(s) riding it — never a join for asof, never a second
+    shuffle for rolling."""
+    from xagg_spark.operators.sessions import asof_join, rolling_stats
+    left, right = _frames(spark)
+    plan = (asof_join(left, right)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    df = left.withColumn("value", F.lit(1.0))
+    plan2 = (rolling_stats(df, "user_id", "ts")._jdf.queryExecution()
+             .executedPlan().toString())
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2
+    assert "Window" in plan2

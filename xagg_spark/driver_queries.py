@@ -1538,6 +1538,31 @@ FROM vals GROUP BY poly_idx, t
 """
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-hour per-user event window: sum/count/mean of value
+    over [ts - 10h, ts].  RANGE frame on integer microseconds — tie-safe
+    (equal timestamps share a frame) and engine-portable."""
+    from .operators.sessions import rolling_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_stats(ev, "user_id", "ts", "value",
+                        window_seconds=36000.0)
+    return out.select("event_id", "user_id",
+                      F.round("roll_sum", 6).alias("roll_sum"),
+                      "roll_n",
+                      F.round("roll_mean", 6).alias("roll_mean"))
+
+
+SQL_ROLLING = """
+WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       round((sum(value) OVER w) / (count(*) OVER w), 6) AS roll_mean
+FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                    RANGE BETWEEN 36000000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition: fraction of character
     3-grams that are repeats."""
@@ -2190,6 +2215,7 @@ def all_queries():
         "aggregate_weighted_median": q_aggregate_weighted_median,
         "aggregate_stats": q_aggregate_stats,
         "asof_join": q_asof_join,
+        "rolling_stats": q_rolling_stats,
         "sessionize": q_sessionize,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
@@ -2256,6 +2282,7 @@ def all_oracle_sql():
         "aggregate_weighted_median": SQL_AGG_MEDIAN,
         "aggregate_stats": SQL_AGG_STATS,
         "asof_join": SQL_ASOF,
+        "rolling_stats": SQL_ROLLING,
         "sessionize": SQL_SESSIONIZE,
         "repetition_ratio": SQL_REPETITION,
         "chunk_documents": SQL_CHUNKS,

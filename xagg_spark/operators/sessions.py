@@ -143,3 +143,41 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
                 F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")))
     return out.select(*left.columns,
                       *[f"{c}{suffix}" for c in value_cols + [ts_col]])
+
+
+def rolling_stats(df: DataFrame, key_col: str, ts_col: str,
+                  value_col: str = "value",
+                  window_seconds: float = 600.0) -> DataFrame:
+    """Trailing event-time window per key: for every row, the sum /
+    count / mean of `value_col` over [ts - window, ts] for the same key
+    — the per-entity rate/velocity feature every event pipeline derives.
+
+    RANGE frame over exact integer microseconds, so (a) the boundary is
+    engine-portable (DuckDB `RANGE BETWEEN n PRECEDING`), and (b) rows
+    with EQUAL (key, ts) are all inside each other's frame regardless of
+    sort-tie order — the result is deterministic under repartitioning
+    with no tie-break column needed (unlike ROWS frames).
+
+    Scale shape: one hash Exchange on the key + one per-key Sort; both
+    window aggregates ride the same frame.  Hot keys concentrate (same
+    caveat as sessionize); the frame is O(events-in-window) state per
+    row, never a self-join.
+
+    Adds roll_sum, roll_n, roll_mean.
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    clash = {"roll_sum", "roll_n", "roll_mean", "_tus"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has column(s) {sorted(clash)} "
+                         "(reserved by rolling_stats)")
+    win_us = int(round(window_seconds * 1_000_000))
+    out = df.withColumn("_tus", _ts_micros(df, ts_col))
+    w = (Window.partitionBy(key_col).orderBy(F.col("_tus").asc())
+               .rangeBetween(-win_us, 0))
+    return (out.withColumn("roll_sum", F.sum(value_col).over(w))
+               .withColumn("roll_n", F.count(F.lit(1)).over(w)
+                            .cast("long"))
+               .withColumn("roll_mean",
+                           F.col("roll_sum") / F.col("roll_n"))
+               .drop("_tus"))
