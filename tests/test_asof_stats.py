@@ -159,3 +159,52 @@ def test_asof_and_rolling_plan_shape(spark):
              .executedPlan().toString())
     assert plan2.count("Exchange hashpartitioning") == 1, plan2
     assert "Window" in plan2
+
+
+def test_interval_join_matches_naive_and_boundaries(spark):
+    from xagg_spark.operators.sessions import interval_join
+    pts = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(0), "event_id": 0},     # == start: IN
+        {"user_id": 1, "ts": _ts(10), "event_id": 1},    # == end: OUT
+        {"user_id": 1, "ts": _ts(5), "event_id": 2},     # interior
+        {"user_id": 1, "ts": _ts(9999), "event_id": 3},  # far outside
+        {"user_id": 2, "ts": _ts(5), "event_id": 4},     # other key
+    ]))
+    ivs = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "start": _ts(0), "end": _ts(10), "iv_id": 100},
+        # crosses MANY 3s buckets + overlaps the first interval
+        {"user_id": 1, "start": _ts(4), "end": _ts(20), "iv_id": 101},
+        {"user_id": 2, "start": _ts(0), "end": _ts(3), "iv_id": 102},
+    ]))
+    out = (interval_join(pts, ivs, by="user_id", bucket_seconds=3.0)
+           .select("event_id", "iv_id").toPandas())
+    got = set(map(tuple, out.itertuples(index=False)))
+    # naive cross-check
+    pp, ii = pts.toPandas(), ivs.toPandas()
+    want = {(p.event_id, i.iv_id)
+            for p in pp.itertuples() for i in ii.itertuples()
+            if p.user_id == i.user_id and i.start <= p.ts < i.end}
+    assert got == want and (0, 100) in got and (1, 100) not in got
+    # each qualifying pair appears EXACTLY once despite multi-bucket spans
+    assert len(out) == len(want)
+    # guards
+    with pytest.raises(ValueError, match="buckets"):
+        interval_join(pts, ivs, by="user_id", bucket_seconds=3.0,
+                      max_buckets_per_interval=2)
+    with pytest.raises(ValueError, match="share column"):
+        interval_join(pts, ivs.withColumnRenamed("iv_id", "event_id"),
+                      by="user_id")
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_join(pts, ivs, by="user_id", bucket_seconds=0)
+
+
+def test_interval_join_no_by_key_and_empty_intervals(spark):
+    from xagg_spark.operators.sessions import interval_join
+    pts = spark.createDataFrame(pd.DataFrame(
+        [{"ts": _ts(5), "event_id": 0}]))
+    ivs = spark.createDataFrame(pd.DataFrame([
+        {"start": _ts(0), "end": _ts(10), "iv_id": 1},
+        {"start": _ts(7), "end": _ts(7), "iv_id": 2},    # empty: drops
+    ]))
+    out = interval_join(pts, ivs).select("event_id", "iv_id").toPandas()
+    assert set(map(tuple, out.itertuples(index=False))) == {(0, 1)}

@@ -1538,6 +1538,37 @@ FROM vals GROUP BY poly_idx, t
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval enrich on the events stream: every click joined
+    to the signup windows [signup_ts, signup_ts + 2h) of the same user.
+    The engine buckets time (1h buckets, JVM sequence/explode) and runs a
+    plain equi-join + residual containment; the oracle is the naive
+    BETWEEN join — results must agree pair-for-pair."""
+    from .operators.sessions import interval_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    signups = (ev.filter(F.col("event_type") == "signup")
+                 .select(F.col("event_id").alias("signup_id"), "user_id",
+                         F.col("ts").alias("start"),
+                         F.expr("ts + INTERVAL 2 HOURS").alias("end")))
+    out = interval_join(clicks, signups, ts_col="ts", start_col="start",
+                        end_col="end", by="user_id",
+                        bucket_seconds=3600.0)
+    return out.select("event_id", "signup_id", "user_id")
+
+
+SQL_INTERVAL_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+i AS (SELECT event_id AS signup_id, user_id, ts AS s,
+             ts + INTERVAL 2 HOUR AS e
+      FROM events WHERE event_type = 'signup')
+SELECT p.event_id, i.signup_id, p.user_id
+FROM p JOIN i ON p.user_id = i.user_id AND i.s <= p.ts AND p.ts < i.e
+"""
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 10-hour per-user event window: sum/count/mean of value
     over [ts - 10h, ts].  RANGE frame on integer microseconds — tie-safe
@@ -2216,6 +2247,7 @@ def all_queries():
         "aggregate_stats": q_aggregate_stats,
         "asof_join": q_asof_join,
         "rolling_stats": q_rolling_stats,
+        "interval_join": q_interval_join,
         "sessionize": q_sessionize,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
@@ -2283,6 +2315,7 @@ def all_oracle_sql():
         "aggregate_stats": SQL_AGG_STATS,
         "asof_join": SQL_ASOF,
         "rolling_stats": SQL_ROLLING,
+        "interval_join": SQL_INTERVAL_JOIN,
         "sessionize": SQL_SESSIONIZE,
         "repetition_ratio": SQL_REPETITION,
         "chunk_documents": SQL_CHUNKS,

@@ -181,3 +181,68 @@ def rolling_stats(df: DataFrame, key_col: str, ts_col: str,
                .withColumn("roll_mean",
                            F.col("roll_sum") / F.col("roll_n"))
                .drop("_tus"))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  ts_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", by: str | None = None,
+                  bucket_seconds: float = 3600.0,
+                  max_buckets_per_interval: int = 10_000) -> DataFrame:
+    """Point-in-interval inner join (half-open: start <= ts < end) —
+    the enrich-events-with-campaign/session/deployment-window operator.
+
+    NOT a range join (Catalyst plans `ON s <= ts AND ts < e` as a
+    nested-loop / broadcast range join — O(points x intervals) per key):
+    intervals EXPLODE into the fixed-width time buckets they cover
+    (JVM sequence/explode on integer microseconds), points map to their
+    single bucket, and the join is a plain EQUI-join on ([by,] bucket)
+    with the exact containment as a residual filter.  Each qualifying
+    pair meets in exactly one bucket (the point's), so no dedup pass.
+    Shuffle volume: points + intervals x ceil(len/bucket) rows, hash-
+    partitioned — the standard scale trade: pick `bucket_seconds` near
+    the typical interval length (cost ~2 rows per interval), and the
+    guard raises when an interval would explode past
+    `max_buckets_per_interval` instead of silently fanning out.
+
+    Output: every point column + every interval column (start/end and
+    payload).  Points in no interval drop (inner join).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    overlap = (set(points.columns) & set(intervals.columns)) - {by}
+    if overlap:
+        raise ValueError(f"points and intervals share column(s) "
+                         f"{sorted(overlap)} — rename before joining")
+    b_us = int(round(bucket_seconds * 1_000_000))
+
+    def _fdiv(sql_expr: str):
+        # exact integer FLOOR division (div truncates toward zero and a
+        # double round-trip loses exactness past 2^53 microseconds —
+        # both wrong for pre-1970 NTZ timestamps)
+        q = F.expr(f"({sql_expr}) div {b_us}")
+        r = F.expr(f"({sql_expr}) % {b_us}")
+        return F.when(r < 0, q - 1).otherwise(q)
+
+    pts = points.withColumn("_tus", _ts_micros(points, ts_col))
+    iv = (intervals
+          .withColumn("_sus", _ts_micros(intervals, start_col))
+          .withColumn("_eus", _ts_micros(intervals, end_col)))
+    iv = iv.filter(F.col("_eus") > F.col("_sus"))   # empty intervals drop
+    n_b = _fdiv("_eus - 1") - _fdiv("_sus") + 1
+    # eager fail-fast guard: one cheap aggregate job over the (dimension-
+    # side) interval table, instead of silently shuffling a huge fan-out
+    worst = iv.agg(F.max(F.when(n_b > max_buckets_per_interval, n_b))
+                   ).collect()[0][0]
+    if worst is not None:
+        raise ValueError(
+            f"an interval spans {worst} buckets "
+            f"(> max_buckets_per_interval={max_buckets_per_interval}); "
+            f"raise bucket_seconds (currently {bucket_seconds}) or the cap")
+    iv = iv.withColumn(
+        "_bucket", F.explode(F.sequence(_fdiv("_sus"), _fdiv("_eus - 1"))))
+    pts = pts.withColumn("_bucket", _fdiv("_tus"))
+    keys = ([by] if by else []) + ["_bucket"]
+    joined = (pts.join(iv, keys)
+                 .filter((F.col("_sus") <= F.col("_tus"))
+                         & (F.col("_tus") < F.col("_eus"))))
+    return joined.drop("_tus", "_sus", "_eus", "_bucket")
