@@ -208,3 +208,63 @@ def test_interval_join_no_by_key_and_empty_intervals(spark):
     ]))
     out = interval_join(pts, ivs).select("event_id", "iv_id").toPandas()
     assert set(map(tuple, out.itertuples(index=False))) == {(0, 1)}
+
+
+def test_asof_join_null_payload_and_null_keys_match_duckdb_semantics(spark):
+    """The matched right row's NULL payload must come through as NULL
+    (struct carry, never a stale older value) and NULL by-keys never
+    match — both pinned against DuckDB's native ASOF JOIN."""
+    import duckdb
+    from xagg_spark.operators.sessions import asof_join
+    lp = pd.DataFrame([
+        {"user_id": 1.0, "ts": _ts(10), "event_id": 1},
+        {"user_id": None, "ts": _ts(10), "event_id": 2},
+    ])
+    rp = pd.DataFrame([
+        {"user_id": 1.0, "ts": _ts(3), "value": 30.0},
+        {"user_id": 1.0, "ts": _ts(8), "value": None},   # matched, NULL
+        {"user_id": None, "ts": _ts(5), "value": 99.0},  # NULL key
+    ])
+    out = (asof_join(spark.createDataFrame(lp), spark.createDataFrame(rp))
+           .orderBy("event_id").toPandas())
+    con = duckdb.connect()
+    con.register("lp", lp); con.register("rp", rp)
+    ref = con.execute("""
+        SELECT l.event_id, r.value AS value_r
+        FROM lp l ASOF LEFT JOIN rp r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id""").df()
+    got = dict(zip(out["event_id"], out["value_r"]))
+    want = dict(zip(ref["event_id"], ref["value_r"]))
+    for eid in (1, 2):
+        g, w_ = got[eid], want[eid]
+        assert (pd.isna(g) and pd.isna(w_)) or g == w_, (eid, g, w_)
+    # matched-row attribution: event 1 matched the t=8 row (NULL value)
+    assert pd.isna(got[1]) and out[out.event_id == 1]["ts_r"].iloc[0] == _ts(8)
+    with pytest.raises(ValueError, match="reserved by asof_join"):
+        asof_join(spark.createDataFrame(lp).withColumn("_src", F.lit(1)),
+                  spark.createDataFrame(rp))
+
+
+def test_rolling_stats_null_values_and_stats_float_input(spark):
+    from xagg_spark.operators.sessions import rolling_stats
+    df = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(0), "event_id": 0, "value": 10.0},
+        {"user_id": 1, "ts": _ts(1), "event_id": 1, "value": None},
+    ]))
+    out = (rolling_stats(df, "user_id", "ts", "value", window_seconds=5.0)
+           .orderBy("event_id").toPandas())
+    # NULL value: excluded from roll_n and roll_mean (mean stays 10)
+    assert out["roll_n"].tolist() == [1, 1]
+    assert out["roll_mean"].tolist() == [10.0, 10.0]
+    # zero-overlap polygon: stats NaN-filled even for FLOAT value input,
+    # n_valid = 0 (not NULL)
+    from xagg_spark.operators.aggregate import aggregate_stats
+    from xagg_spark.polygons import PolygonSet, rect_ring
+    wm, facts = _toy_wm_and_facts(spark, [1.0, 2.0], [1.0, 1.0])
+    wm.polys = PolygonSet([rect_ring(0, 0, 1, 1), rect_ring(2, 2, 3, 3)],
+                          pd.DataFrame({"name": ["p0", "p1"]}))
+    ffacts = facts.withColumn("value", F.col("value").cast("float"))
+    res = (aggregate_stats(ffacts, wm).orderBy("poly_idx").toPandas())
+    assert np.isnan(res["min"].iloc[1]) and np.isnan(res["max"].iloc[1])
+    assert res["n_valid"].iloc[1] == 0

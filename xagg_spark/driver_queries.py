@@ -1587,8 +1587,8 @@ SQL_ROLLING = """
 WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
 SELECT event_id, user_id,
        round(sum(value) OVER w, 6) AS roll_sum,
-       CAST(count(*) OVER w AS BIGINT) AS roll_n,
-       round((sum(value) OVER w) / (count(*) OVER w), 6) AS roll_mean
+       CAST(count(value) OVER w AS BIGINT) AS roll_n,
+       round((sum(value) OVER w) / (count(value) OVER w), 6) AS roll_mean
 FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus
                     RANGE BETWEEN 36000000000 PRECEDING AND CURRENT ROW)
 """

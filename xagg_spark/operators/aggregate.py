@@ -124,26 +124,8 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
     dims = list(dims)
     has_var = "var" in dims
     vkeys = ["var"] if has_var else []
-    over = wm.overlaps
-    if not wm.has_weights:
-        over = over.withColumn("weight", F.lit(1.0))
-    w_raw = (F.col("rel_area") * F.col("weight")).alias("_w")
-    ov = over.select("poly_idx", "pix_idx", w_raw)
-
     v = F.col(value_col)
-
-    # fact ⨝ overlaps on pix_idx.  When the overlap side fits a broadcast,
-    # the fact table never shuffles at all and both aggregates below are
-    # map-side partial + a tiny reduce.  The decision uses the row count
-    # CARRIED on the WeightMap (pixel_overlaps/read_wm set it) — never an
-    # eager count() here, which would re-execute the whole overlap DAG when
-    # the caller did not persist it.
-    if broadcast_overlaps is None:
-        n_rows = getattr(wm, "n_rows", None)
-        broadcast_overlaps = (n_rows is not None
-                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
-    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
-                                 getattr(wm, "bucketed", False))
+    joined = _weighted_fact_join(pix_values, wm, broadcast_overlaps)
 
     if impl == "dot_product":
         # per-(pixel, dim-coordinate) weight masking: numerator AND
@@ -219,7 +201,7 @@ def _merge_attrs(res: DataFrame, spark, wm, dims, value_col) -> DataFrame:
     dim_space = res.select(*dims).distinct()
     full = F.broadcast(attrs).crossJoin(F.broadcast(dim_space))
     out = full.join(res, on=["poly_idx"] + list(dims), how="left")
-    fillable = {c for c, t in res.dtypes if t == "double"}
+    fillable = {c for c, t in res.dtypes if t in ("double", "float")}
     for vc in value_cols:
         if vc in fillable:
             out = out.withColumn(vc, F.when(F.col(vc).isNull(), _nan())
@@ -270,6 +252,28 @@ def aggregate_quantile(pix_values: DataFrame, wm, q: float = 0.5,
     return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
 
+def _weighted_fact_join(pix_values: DataFrame, wm,
+                        broadcast_overlaps: bool | None) -> DataFrame:
+    """The shared head of every zonal-stat entry point: weight column
+    `_w` = rel_area * add_weight, then fact ⨝ overlaps on pix_idx via
+    `_fact_overlaps_join` (broadcast / bucketed / SHUFFLE_HASH by input
+    shape).  The broadcast decision uses the row count CARRIED on the
+    WeightMap (pixel_overlaps/read_wm set it) — never an eager count()
+    here, which would re-execute the whole overlap DAG when the caller
+    did not persist it."""
+    over = wm.overlaps
+    if not wm.has_weights:
+        over = over.withColumn("weight", F.lit(1.0))
+    ov = over.select("poly_idx", "pix_idx",
+                     (F.col("rel_area") * F.col("weight")).alias("_w"))
+    if broadcast_overlaps is None:
+        n_rows = getattr(wm, "n_rows", None)
+        broadcast_overlaps = (n_rows is not None
+                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
+    return _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
+                               getattr(wm, "bucketed", False))
+
+
 def _promote_var(pix_values: DataFrame, dims) -> tuple:
     """DataArray-promotion facade shared by every zonal-stat entry point
     (reference wrappers.py:80-84 / core.py:686-692): a fact table without
@@ -291,17 +295,7 @@ def _ranked_by_weight(pix_values: DataFrame, wm, dims, value_col: str,
     asc within (poly_idx, *dims), and the partition total `_tw` = max of
     the SAME accumulation — one window Exchange+Sort carries everything."""
     from pyspark.sql import Window
-    over = wm.overlaps
-    if not wm.has_weights:
-        over = over.withColumn("weight", F.lit(1.0))
-    ov = over.select("poly_idx", "pix_idx",
-                     (F.col("rel_area") * F.col("weight")).alias("_w"))
-    if broadcast_overlaps is None:
-        n_rows = getattr(wm, "n_rows", None)
-        broadcast_overlaps = (n_rows is not None
-                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
-    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
-                                 getattr(wm, "bucketed", False))
+    joined = _weighted_fact_join(pix_values, wm, broadcast_overlaps)
     v = F.col(value_col)
     finite = joined.filter(_finite(v))
     w_run = (Window.partitionBy("poly_idx", *dims)
@@ -375,17 +369,7 @@ def aggregate_stats(pix_values: DataFrame, wm, dims=("var", "t"),
     if clash:
         raise ValueError(f"dims/value_col collide with the stat output "
                          f"column(s) {sorted(clash)} — rename them")
-    over = wm.overlaps
-    if not wm.has_weights:
-        over = over.withColumn("weight", F.lit(1.0))
-    ov = over.select("poly_idx", "pix_idx",
-                     (F.col("rel_area") * F.col("weight")).alias("_w"))
-    if broadcast_overlaps is None:
-        n_rows = getattr(wm, "n_rows", None)
-        broadcast_overlaps = (n_rows is not None
-                              and n_rows <= BROADCAST_OVERLAPS_MAX_ROWS)
-    joined = _fact_overlaps_join(pix_values, ov, broadcast_overlaps,
-                                 getattr(wm, "bucketed", False))
+    joined = _weighted_fact_join(pix_values, wm, broadcast_overlaps)
     v = F.col(value_col)
     finite = joined.filter(_finite(v))
     agg = (finite.groupBy("poly_idx", *dims)
@@ -401,8 +385,11 @@ def aggregate_stats(pix_values: DataFrame, wm, dims=("var", "t"),
                   F.col("_swv2") / F.col("_sw") - mean * mean, F.lit(0.0)))
               .select("poly_idx", *dims, "mean", "variance", "min", "max",
                       F.col("n_valid").cast("long").alias("n_valid")))
-    return _merge_attrs(res, pix_values.sparkSession, wm, dims,
-                        ["mean", "variance", "min", "max"])
+    out = _merge_attrs(res, pix_values.sparkSession, wm, dims,
+                       ["mean", "variance", "min", "max"])
+    # a zero-overlap polygon has zero finite terms, not an unknown count
+    return out.withColumn("n_valid",
+                          F.coalesce("n_valid", F.lit(0)).cast("long"))
 
 
 def aggregate_pandas(pix_values: DataFrame, wm, dims=("var", "t"),

@@ -35,14 +35,7 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
     order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # exact integer microseconds for BOTH timestamp flavors; the NTZ
-    # branch is wall-clock arithmetic, so the result never depends on
-    # spark.sql.session.timeZone (unix_micros rejects NTZ outright)
-    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        tus = F.expr(f"timestampdiff(MICROSECOND, "
-                     f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)")
-    else:
-        tus = F.unix_micros(F.col(ts_col))
+    tus = _ts_micros(df, ts_col)
     prev = F.lag(tus).over(w)
     is_new = F.when(prev.isNull() | ((tus - prev) >= gap_us),
                     F.lit(1)).otherwise(F.lit(0))
@@ -53,9 +46,10 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
 
 
 def _ts_micros(df: DataFrame, ts_col: str):
-    """Exact integer microseconds for both timestamp flavors (shared
-    with sessionize): NTZ via wall-clock timestampdiff, TZ via
-    unix_micros."""
+    """Exact integer microseconds for both timestamp flavors, shared by
+    every event-time operator in this module: the NTZ branch is
+    wall-clock arithmetic, so the result never depends on
+    spark.sql.session.timeZone (unix_micros rejects NTZ outright)."""
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         return F.expr(f"timestampdiff(MICROSECOND, "
                       f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)")
@@ -83,7 +77,12 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
     the same ts (inclusive semantics).  Rows with equal (by, ts) on the
     RIGHT side make the pick among them ambiguous — deduplicate the
     right side to one row per (by, ts) first (same contract as DuckDB
-    ASOF, which is defined on unique right timestamps).
+    ASOF, which is defined on unique right timestamps).  The matched
+    right row is carried as ONE struct, so a NULL in a matched row's
+    payload comes through as NULL (never silently replaced by a stale
+    older value, and multi-column payloads can never mix rows).  NULL
+    `by`/`ts` on the right never match (SQL equality/comparison
+    semantics); NULL-key left rows come back unmatched.
 
     `tolerance_seconds` nulls the carried payload when the match is
     staler than the window (exact integer-microsecond comparison,
@@ -104,28 +103,37 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
     for c in (by, ts_col, *value_cols):
         if c not in right.columns:
             raise ValueError(f"right side lacks column {c!r}")
+    reserved = {"_src", "_rpay"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"input already has column(s) {sorted(reserved)} "
+                         "(reserved by asof_join)")
     left_rest = [c for c in left.columns if c not in (by, ts_col)]
-    # union schema: by, ts, _src, left payload (NULL on right rows),
-    # right payload + right ts (NULL on left rows)
+    # union schema: by, ts, _src, left payload (NULL on right rows), and
+    # the right row as ONE nullable struct `_rpay` — last(ignorenulls)
+    # then skips left rows but carries whole right rows even when some
+    # payload FIELD is NULL (per-column carries would resurrect stale
+    # values and could mix fields from different right rows)
+    rv = (right
+          # NULL by/ts never match under SQL comparison semantics
+          .filter(F.col(by).isNotNull() & F.col(ts_col).isNotNull())
+          .select(
+              F.col(by), F.col(ts_col), F.lit(0).alias("_src"),
+              *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+                for c in left_rest],
+              F.struct(*[F.col(c).alias(c) for c in value_cols],
+                       F.col(ts_col).alias("__match_ts")).alias("_rpay")))
     lv = left.select(
         F.col(by), F.col(ts_col), F.lit(1).alias("_src"),
         *[F.col(c) for c in left_rest],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
-          for c in value_cols],
-        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias(f"{ts_col}{suffix}"))
-    rv = right.select(
-        F.col(by), F.col(ts_col), F.lit(0).alias("_src"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
-          for c in left_rest],
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"))
+        F.lit(None).cast(rv.schema["_rpay"].dataType).alias("_rpay"))
     u = lv.unionByName(rv)
     w = (Window.partitionBy(by).orderBy(F.col(ts_col).asc(),
                                         F.col("_src").asc())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-                .alias(f"{c}{suffix}") for c in value_cols + [ts_col]]
-    out = (u.select(by, ts_col, "_src", *left_rest, *carried)
+    carry = F.last("_rpay", ignorenulls=True).over(w)
+    out = (u.select(by, ts_col, "_src", *left_rest,
+                    *[carry[c].alias(f"{c}{suffix}") for c in value_cols],
+                    carry["__match_ts"].alias(f"{ts_col}{suffix}"))
             .filter(F.col("_src") == 1).drop("_src"))
     if tolerance_seconds is not None:
         tol_us = int(round(tolerance_seconds * 1_000_000))
@@ -163,7 +171,10 @@ def rolling_stats(df: DataFrame, key_col: str, ts_col: str,
     caveat as sessionize); the frame is O(events-in-window) state per
     row, never a self-join.
 
-    Adds roll_sum, roll_n, roll_mean.
+    Adds roll_sum, roll_n, roll_mean.  roll_n counts NON-NULL values
+    (so roll_mean is the mean of the values actually present in the
+    window); an all-NULL window yields roll_sum/roll_mean NULL and
+    roll_n = 0.
     """
     if window_seconds <= 0:
         raise ValueError("window_seconds must be positive")
@@ -176,10 +187,11 @@ def rolling_stats(df: DataFrame, key_col: str, ts_col: str,
     w = (Window.partitionBy(key_col).orderBy(F.col("_tus").asc())
                .rangeBetween(-win_us, 0))
     return (out.withColumn("roll_sum", F.sum(value_col).over(w))
-               .withColumn("roll_n", F.count(F.lit(1)).over(w)
+               .withColumn("roll_n", F.count(value_col).over(w)
                             .cast("long"))
                .withColumn("roll_mean",
-                           F.col("roll_sum") / F.col("roll_n"))
+                           F.try_divide(F.col("roll_sum"),
+                                        F.col("roll_n")))
                .drop("_tus"))
 
 
@@ -213,6 +225,11 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     if overlap:
         raise ValueError(f"points and intervals share column(s) "
                          f"{sorted(overlap)} — rename before joining")
+    reserved = ({"_tus", "_sus", "_eus", "_bucket"}
+                & (set(points.columns) | set(intervals.columns)))
+    if reserved:
+        raise ValueError(f"input already has column(s) {sorted(reserved)} "
+                         "(reserved by interval_join)")
     b_us = int(round(bucket_seconds * 1_000_000))
 
     def _fdiv(sql_expr: str):
