@@ -1,6 +1,8 @@
 from .overlaps import (NoOverlapError, WeightMap, pixel_geometry,
                        pixel_overlaps, tiles_to_pixels)
-from .aggregate import aggregate
+from .aggregate import (aggregate, aggregate_quantile, aggregate_quantiles,
+                        aggregate_stats)
 
 __all__ = ["NoOverlapError", "WeightMap", "pixel_geometry", "pixel_overlaps",
-           "tiles_to_pixels", "aggregate"]
+           "tiles_to_pixels", "aggregate", "aggregate_quantile",
+           "aggregate_quantiles", "aggregate_stats"]
