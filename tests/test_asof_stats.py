@@ -268,3 +268,48 @@ def test_rolling_stats_null_values_and_stats_float_input(spark):
     res = (aggregate_stats(ffacts, wm).orderBy("poly_idx").toPandas())
     assert np.isnan(res["min"].iloc[1]) and np.isnan(res["max"].iloc[1])
     assert res["n_valid"].iloc[1] == 0
+
+
+def test_asof_join_property_vs_pandas_merge_asof(spark):
+    """Randomized equivalence: asof_join == pandas merge_asof(backward)
+    on frames with multiple keys, ties between left/right, and gaps.
+    Right side generated unique per (key, ts) (the documented contract)."""
+    rng = np.random.RandomState(42)
+    for trial in range(5):
+        n_l, n_r = rng.randint(5, 40), rng.randint(3, 30)
+        lp = pd.DataFrame({
+            "user_id": rng.randint(0, 4, n_l),
+            "ts": [_ts(int(s)) for s in rng.randint(0, 50, n_l)],
+            "event_id": np.arange(n_l),
+        })
+        rp = (pd.DataFrame({
+                "user_id": rng.randint(0, 4, n_r),
+                "ts": [_ts(int(s)) for s in rng.randint(0, 50, n_r)],
+                "value": rng.rand(n_r).round(3),
+              })
+              .drop_duplicates(["user_id", "ts"]).reset_index(drop=True))
+        from xagg_spark.operators.sessions import asof_join
+        out = asof_join(spark.createDataFrame(lp), spark.createDataFrame(rp))
+        got = (out.orderBy("event_id").toPandas()
+                  .set_index("event_id")["value_r"])
+        ref = (pd.merge_asof(lp.sort_values(["ts", "event_id"]),
+                             rp.sort_values("ts"),
+                             on="ts", by="user_id", direction="backward")
+               .set_index("event_id")["value"])
+        for eid in lp["event_id"]:
+            g, w_ = got[eid], ref[eid]
+            assert (pd.isna(g) and pd.isna(w_)) or g == w_, \
+                (trial, eid, g, w_)
+
+
+def test_interval_join_plans_as_equi_join_never_nested_loop(spark):
+    from xagg_spark.operators.sessions import interval_join
+    pts = spark.createDataFrame(pd.DataFrame(
+        [{"user_id": 1, "ts": _ts(5), "event_id": 0}]))
+    ivs = spark.createDataFrame(pd.DataFrame(
+        [{"user_id": 1, "start": _ts(0), "end": _ts(10), "iv_id": 1}]))
+    plan = (interval_join(pts, ivs, by="user_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
