@@ -313,3 +313,38 @@ def test_interval_join_plans_as_equi_join_never_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+def test_funnel_greedy_matching_and_edge_cases(spark):
+    from xagg_spark.operators.sessions import funnel
+    rows = [
+        # u1 completes a-b-c with a decoy 'b' BEFORE the first 'a'
+        {"user_id": 1, "ts": _ts(0), "event_id": 0, "event_type": "b"},
+        {"user_id": 1, "ts": _ts(1), "event_id": 1, "event_type": "a"},
+        {"user_id": 1, "ts": _ts(2), "event_id": 2, "event_type": "b"},
+        {"user_id": 1, "ts": _ts(3), "event_id": 3, "event_type": "c"},
+        # u2 stalls after 'a' ('c' precedes any 'b')
+        {"user_id": 2, "ts": _ts(0), "event_id": 4, "event_type": "a"},
+        {"user_id": 2, "ts": _ts(1), "event_id": 5, "event_type": "c"},
+        # u3 never starts
+        {"user_id": 3, "ts": _ts(0), "event_id": 6, "event_type": "x"},
+        # u4: same-ts chain a,b ordered by event_id (tie-break matches)
+        {"user_id": 4, "ts": _ts(5), "event_id": 7, "event_type": "a"},
+        {"user_id": 4, "ts": _ts(5), "event_id": 8, "event_type": "b"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = (funnel(df, ["a", "b", "c"], order_cols=("event_id",))
+           .orderBy("user_id").toPandas().set_index("user_id"))
+    assert out.loc[1, "n_completed"] == 3
+    assert [out.loc[1, f"step_{i}_us"] for i in (1, 2, 3)] == \
+        [_ts(i).timestamp() * 1e6 for i in (1, 2, 3)]
+    assert out.loc[2, "n_completed"] == 1
+    assert pd.isna(out.loc[2, "step_2_us"])
+    assert out.loc[3, "n_completed"] == 0
+    assert out.loc[4, "n_completed"] == 2     # tie chain via event_id order
+    # repeated step types: a -> a requires two distinct 'a' events
+    out2 = (funnel(df, ["a", "a"], order_cols=("event_id",))
+            .orderBy("user_id").toPandas().set_index("user_id"))
+    assert out2.loc[1, "n_completed"] == 1    # only one 'a' for u1
+    with pytest.raises(ValueError, match="steps"):
+        funnel(df, [])

@@ -1569,6 +1569,48 @@ FROM p JOIN i ON p.user_id = i.user_id AND i.s <= p.ts AND p.ts < i.e
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step conversion funnel (signup -> click -> purchase) per user,
+    greedy-earliest matching with event_id tie-break.  The engine walks
+    each user's sorted timeline in ONE F.aggregate pass; the oracle
+    chains per-step correlated row_number()=1 picks — the k-join
+    formulation the engine refuses at scale."""
+    from .operators.sessions import funnel
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["signup", "click", "purchase"],
+                  order_cols=("event_id",))
+
+
+SQL_FUNNEL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+           FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, tus, event_id FROM e WHERE event_type = 'signup'
+       QUALIFY row_number() OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) = 1),
+s2 AS (SELECT e.user_id, e.tus, e.event_id
+       FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click'
+         AND (e.tus > s1.tus OR (e.tus = s1.tus AND e.event_id > s1.event_id))
+       QUALIFY row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.tus, e.event_id) = 1),
+s3 AS (SELECT e.user_id, e.tus, e.event_id
+       FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase'
+         AND (e.tus > s2.tus OR (e.tus = s2.tus AND e.event_id > s2.event_id))
+       QUALIFY row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.tus, e.event_id) = 1)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS n_completed,
+       s1.tus AS step_1_us, s2.tus AS step_2_us, s3.tus AS step_3_us
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 10-hour per-user event window: sum/count/mean of value
     over [ts - 10h, ts].  RANGE frame on integer microseconds — tie-safe
@@ -2248,6 +2290,7 @@ def all_queries():
         "asof_join": q_asof_join,
         "rolling_stats": q_rolling_stats,
         "interval_join": q_interval_join,
+        "funnel": q_funnel,
         "sessionize": q_sessionize,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
@@ -2316,6 +2359,7 @@ def all_oracle_sql():
         "asof_join": SQL_ASOF,
         "rolling_stats": SQL_ROLLING,
         "interval_join": SQL_INTERVAL_JOIN,
+        "funnel": SQL_FUNNEL,
         "sessionize": SQL_SESSIONIZE,
         "repetition_ratio": SQL_REPETITION,
         "chunk_documents": SQL_CHUNKS,
