@@ -348,3 +348,38 @@ def test_funnel_greedy_matching_and_edge_cases(spark):
     assert out2.loc[1, "n_completed"] == 1    # only one 'a' for u1
     with pytest.raises(ValueError, match="steps"):
         funnel(df, [])
+
+
+def test_funnel_property_vs_python_greedy(spark):
+    """Randomized equivalence against a literal Python greedy walk —
+    covers tie orders, repeated types, and absent steps the fixed
+    fixtures might miss."""
+    rng = np.random.RandomState(9)
+    types = ["a", "b", "c"]
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        pdf = pd.DataFrame({
+            "user_id": rng.randint(0, 5, n),
+            "ts": [_ts(int(s)) for s in rng.randint(0, 12, n)],  # many ties
+            "event_id": np.arange(n),
+            "event_type": rng.choice(types, n),
+        })
+        steps = [types[i] for i in rng.randint(0, 3, rng.randint(1, 4))]
+        from xagg_spark.operators.sessions import funnel
+        out = (funnel(spark.createDataFrame(pdf), steps,
+                      order_cols=("event_id",))
+               .toPandas().set_index("user_id"))
+        for uid, grp in pdf.groupby("user_id"):
+            seq = grp.sort_values(["ts", "event_id"]).itertuples()
+            k, last = 0, None
+            stamps = []
+            for e in seq:
+                if k < len(steps) and e.event_type == steps[k] and (
+                        last is None
+                        or (e.ts, e.event_id) > last):
+                    stamps.append(e.ts.timestamp() * 1e6)
+                    last = (e.ts, e.event_id)
+                    k += 1
+            assert out.loc[uid, "n_completed"] == k, (trial, uid)
+            for i, s in enumerate(stamps):
+                assert out.loc[uid, f"step_{i + 1}_us"] == s, (trial, uid, i)
