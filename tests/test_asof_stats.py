@@ -383,3 +383,33 @@ def test_funnel_property_vs_python_greedy(spark):
             assert out.loc[uid, "n_completed"] == k, (trial, uid)
             for i, s in enumerate(stamps):
                 assert out.loc[uid, f"step_{i + 1}_us"] == s, (trial, uid, i)
+
+
+def test_funnel_same_ts_chain_without_order_cols_and_string_ids(spark):
+    """Review regressions: (1) a same-timestamp a->b chain completes on
+    the DEFAULT parameter path; (2) string order columns work (no long
+    cast); (3) multiple order_cols are all honored; (4) NULL-ts events
+    drop."""
+    from xagg_spark.operators.sessions import funnel
+    df = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(0), "eid": "x0", "event_type": "a"},
+        {"user_id": 1, "ts": _ts(0), "eid": "x1", "event_type": "b"},
+    ]))
+    out = funnel(df, ["a", "b"], type_col="event_type").toPandas()
+    assert out["n_completed"].iloc[0] == 2          # positional "after"
+    out_s = funnel(df, ["a", "b"], order_cols=("eid",)).toPandas()
+    assert out_s["n_completed"].iloc[0] == 2        # string id: no cast
+    # multiple order cols: second col decides within equal first col
+    df2 = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(0), "g": 0, "eid": 1, "event_type": "b"},
+        {"user_id": 1, "ts": _ts(0), "g": 0, "eid": 0, "event_type": "a"},
+    ]))
+    out2 = funnel(df2, ["a", "b"], order_cols=("g", "eid")).toPandas()
+    assert out2["n_completed"].iloc[0] == 2         # a(eid 0) before b(1)
+    # NULL ts drops: a user with only NULL-ts events is absent
+    df3 = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(0), "eid": 0, "event_type": "a"},
+        {"user_id": 2, "ts": pd.NaT, "eid": 1, "event_type": "a"},
+    ]))
+    out3 = funnel(df3, ["a"], order_cols=("eid",)).toPandas()
+    assert set(out3["user_id"]) == {1}

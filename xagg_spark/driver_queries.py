@@ -1583,7 +1583,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FUNNEL = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
 u AS (SELECT DISTINCT user_id FROM e),
 s1 AS (SELECT user_id, tus, event_id FROM e WHERE event_type = 'signup'
        QUALIFY row_number() OVER (PARTITION BY user_id

@@ -269,23 +269,30 @@ def funnel(df: DataFrame, steps, key_col: str = "user_id",
            ts_col: str = "ts", type_col: str = "event_type",
            order_cols: tuple = ()) -> DataFrame:
     """Conversion-funnel completion per key: scanning the key's events in
-    time order, greedily match `steps` (a list of event types) in order —
-    step k matches the EARLIEST event of its type strictly after step
-    k-1's match.  Greedy-earliest is optimal for unwindowed funnels (an
-    exchange argument: any completion can be rewritten step-by-step onto
-    the earliest choices), so `n_completed` is the true maximum prefix.
+    timeline order, greedily match `steps` (a list of event types) in
+    order — step k matches the earliest unconsumed event of its type
+    after step k-1's match IN TIMELINE POSITION (so same-timestamp
+    chains complete: a@t0 then b@t0 is a 2-step funnel).  Greedy-earliest
+    is optimal for unwindowed funnels (an exchange argument: any
+    completion can be rewritten step-by-step onto the earliest choices),
+    so `n_completed` is the true maximum prefix.
 
     One hash Exchange on the key, then pure JVM higher-order functions:
     sort_array(collect_list(struct)) builds the per-key timeline and ONE
-    F.aggregate pass walks it with a (step-index, last-position, step-
-    timestamps) accumulator — no window, no self-joins (the k-step
-    self-join formulation shuffles k times and explodes on hot keys), no
-    Python.  Per-key event lists must fit a task (same bound as any
-    collect_list sessionization; 10^6 events/key is fine).
+    F.aggregate left-fold walks it with a (step-index, step-timestamps)
+    accumulator — "after the previous match" is positional, free in a
+    left-fold, so no last-position state, no window, no self-joins (the
+    k-step self-join formulation shuffles k times and explodes on hot
+    keys), no Python.  Per-key event lists must fit a task (same bound
+    as any collect_list sessionization; 10^6 events/key is fine).
 
-    `order_cols` breaks ties between equal timestamps (pass a unique id,
-    or ties are matched in nondeterministic order).  Repeated types in
-    `steps` are allowed (e.g. view -> view -> buy).
+    `order_cols` orders ties between equal timestamps (any orderable
+    types, compared in struct order after the timestamp); without it,
+    equal-timestamp events order by event type — deterministic, but
+    which of two different-type ties is "first" is then alphabetical,
+    not causal.  Events with a NULL timestamp are DROPPED (they have no
+    position on the timeline).  Repeated types in `steps` are allowed
+    (e.g. view -> view -> buy).
     Returns (key_col, n_completed, step_1_us .. step_N_us) — step match
     times in integer microseconds, NULL past the last completed step.
     """
@@ -293,33 +300,25 @@ def funnel(df: DataFrame, steps, key_col: str = "user_id",
     if not steps:
         raise ValueError("steps must be non-empty")
     n = len(steps)
-    tie = (F.col(order_cols[0]).cast("long") if order_cols
-           else F.lit(0).cast("long"))
+    df = df.filter(F.col(ts_col).isNotNull())
     ev = df.select(
         F.col(key_col),
         F.struct(_ts_micros(df, ts_col).alias("tus"),
-                 tie.alias("tie"),
+                 *[F.col(c).alias(f"_o{i}")
+                   for i, c in enumerate(order_cols)],
                  F.col(type_col).alias("ty")).alias("e"))
     per_key = ev.groupBy(key_col).agg(
         F.array_sort(F.collect_list("e")).alias("es"))
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    lmin = -(1 << 62)
     init = F.struct(
         F.lit(0).alias("k"),
-        F.lit(lmin).cast("long").alias("ltus"),
-        F.lit(lmin).cast("long").alias("ltie"),
         F.array(*[F.lit(None).cast("long") for _ in range(n)]).alias("s"))
 
     def _step(acc, e):
-        matches = (
-            (acc["k"] < n)
-            & (e["ty"] == F.element_at(steps_arr, acc["k"] + 1))
-            & ((e["tus"] > acc["ltus"])
-               | ((e["tus"] == acc["ltus"]) & (e["tie"] > acc["ltie"]))))
+        matches = ((acc["k"] < n)
+                   & (e["ty"] == F.element_at(steps_arr, acc["k"] + 1)))
         advanced = F.struct(
             (acc["k"] + 1).alias("k"),
-            e["tus"].alias("ltus"),
-            e["tie"].alias("ltie"),
             F.transform(acc["s"],
                         lambda x, i: F.when(i == acc["k"], e["tus"])
                                       .otherwise(x)).alias("s"))
