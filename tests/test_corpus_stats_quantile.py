@@ -258,3 +258,24 @@ def test_aggregate_quantiles_odd_value_col_and_q_collision(spark):
     with pytest.raises(ValueError, match="'q' is the quantile"):
         aggregate_quantiles(facts.withColumnRenamed("value", "q"), wm,
                             [0.5], value_col="q")
+
+
+def test_kfold_deterministic_map_only_and_guards(spark):
+    from xagg_spark.operators.split import kfold
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(500)}))
+    out = kfold(df, "doc_id", k=5).toPandas()
+    assert set(out["fold"]) == set(range(5))
+    # roughly balanced (binomial bound, deterministic fixture)
+    assert out.groupby("fold").size().between(60, 140).all()
+    out2 = kfold(df.repartition(7), "doc_id", k=5).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # map-only: no Exchange in the plan
+    plan = (kfold(df, "doc_id")._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan, plan
+    with pytest.raises(ValueError, match="k must be"):
+        kfold(df, "doc_id", k=1)
+    with pytest.raises(ValueError, match="fold column"):
+        kfold(df.withColumn("fold", F.lit(0)), "doc_id")

@@ -1736,6 +1736,23 @@ FROM r WHERE rk <= 5
 """
 
 
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment keyed only on md5(doc_id) —
+    map-only, zero shuffle; fold = int(first 8 md5 hex chars) mod 5,
+    identical arithmetic in both engines."""
+    from .operators.split import kfold
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kfold(docs, "doc_id", k=5).select("doc_id", "fold")
+
+
+SQL_KFOLD = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 5 AS BIGINT) AS fold
+FROM documents
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-25-per-language deterministic draw (md5-ranked, engine-
     portable) — the eval-set sampler where Bernoulli jitter is not OK."""
@@ -2285,6 +2302,7 @@ def all_queries():
         "boilerplate_removed": q_boilerplate_removed,
         "ngram_topk": q_ngram_topk,
         "stratified_sample": q_stratified_sample,
+        "kfold": q_kfold,
         "aggregate_weighted_median": q_aggregate_weighted_median,
         "aggregate_stats": q_aggregate_stats,
         "asof_join": q_asof_join,
@@ -2354,6 +2372,7 @@ def all_oracle_sql():
         "boilerplate_removed": SQL_BOILERPLATE,
         "ngram_topk": SQL_NGRAM_TOPK,
         "stratified_sample": SQL_STRATIFIED,
+        "kfold": SQL_KFOLD,
         "aggregate_weighted_median": SQL_AGG_MEDIAN,
         "aggregate_stats": SQL_AGG_STATS,
         "asof_join": SQL_ASOF,

@@ -144,6 +144,25 @@ def hash_split(df: DataFrame, id_col: str,
     return df.withColumn("split", expr)
 
 
+def kfold(df: DataFrame, id_col: str, k: int = 5,
+          salt: str = "") -> DataFrame:
+    """Adds a `fold` column in [0, k) keyed only on md5(id || salt) —
+    the cross-validation assignment.  Map-only (zero shuffle at 10^12
+    rows), deterministic under repartitioning, engine-portable (the
+    fold is the first 8 md5 hex chars as an integer mod k — identical
+    arithmetic in any SQL engine).  Rows with equal ids land in the
+    same fold (dedup first); changing `salt` redraws."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if "fold" in df.columns:
+        raise ValueError("input already has a fold column — drop or "
+                         "rename it first")
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    return df.withColumn(
+        "fold", (F.conv(h, 16, 10).cast("long") % k).cast("long"))
+
+
 def stratified_sample(df: DataFrame, strata_cols, n_per_stratum: int,
                       id_col: str, salt: str = "") -> DataFrame:
     """EXACTLY n rows per stratum (fewer when a stratum is smaller) —
