@@ -41,6 +41,27 @@ def get_spark(app: str = "xagg_spark", master: str | None = None,
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # long sessions (benchmark batteries, services) otherwise
+         # accumulate dead shuffle/broadcast/checkpoint blocks for up to
+         # the 30-MINUTE default ContextCleaner GC interval — measured as
+         # the "session debris" that inflated late-battery entries 1.4-1.8x
+         # (BASELINE.md runs E/K/L).  A sub-minute periodic GC keeps the
+         # block manager clean at negligible CPU cost; override via env
+         # for clusters with different GC economics.
+         .config("spark.cleaner.periodicGC.interval",
+                 os.environ.get("XAGG_SPARK_PERIODIC_GC", "45s"))
+         # let AQE flip a sort-merge join to a shuffled-hash join when the
+         # RUNTIME per-partition build size is modest (guide §3.1): the
+         # decision uses actual map output sizes, not estimates, so it is
+         # safe at any scale; 128m per partition is far below task memory.
+         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                 os.environ.get("XAGG_SPARK_SHJ_THRESHOLD", "128m"))
+         # trust bucketed tables' sortBy metadata at scan time: Spark only
+         # reports the ordering when every selected bucket has at most ONE
+         # file (never a false claim), and save_copartitioned guarantees
+         # exactly that — without this flag the "exchange-free" bucketed
+         # join silently re-Sorts both sides on every read (SPARK-28595)
+         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
          .config("spark.sql.files.maxPartitionBytes", "134217728")
