@@ -264,7 +264,7 @@ def test_cover_df_jvm_matches_cover_rows(spark):
     })
     for radius, res in ((0.2, 11), (0.7, 8), (3.0, 5), (20.0, 2)):
         want = _cover_rows(centers, radius, res)
-        got = _cover_df_jvm(spark, centers, radius, res).toPandas()
+        got = _cover_df_jvm(spark, centers, radius, res, 6933).toPandas()
         w = set(zip(want.q_id.tolist(), want.cell_id.tolist()))
         g = set(zip(got.q_id.tolist(), got.cell_id.tolist()))
         assert g == w, (radius, res)

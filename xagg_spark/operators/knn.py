@@ -20,10 +20,12 @@ the driver (vectorized numpy) and shipped as a Broadcast HASH join, with at
 most MAX_COARSEN_LEVELS of resolution coarsening to fit; past that (10^6+
 pending centers, where no resolution fits — the per-center cover floors at
 ~4 cells) it is built ON THE CLUSTER with JVM sequence/explode at the
-radius-matched resolution and shuffle-joined (AQE picks the strategy and
-splits skewed cells).  Candidates are then clipped to the exact search
-region and ranked
-with the skew-safe two-phase top-k; a query is CONFIRMED (and leaves the
+radius-matched resolution and joined on cell_id — the PIXEL side is
+broadcast when it fits PIXEL_BROADCAST_MAX_ROWS (exchange-free), else a
+plain shuffle join (AQE picks the strategy and splits skewed cells).
+Candidates are then clipped to the exact search region and ranked with ONE
+per-query top-k aggregate (sorted-array slice, map-side partials — no
+candidate-set window shuffles); a query is CONFIRMED (and leaves the
 loop) when its k-th distance is inside the verified radius — the distance
 to the nearest boundary of the region actually searched (the standard
 ring-expansion termination rule).  Unconfirmed queries double their radius.
@@ -181,11 +183,24 @@ def _cover_rows(pending: pd.DataFrame, radius_deg: float, res: int) -> pd.DataFr
                          "c_lat": clat[rep], "c_lon": clon[rep]})
 
 
-def _clip_and_dist(j: DataFrame, radius: float, epsg: int,
-                   wrap_lon: bool) -> DataFrame:
+def _with_proj(df: DataFrame, lon: str, lat: str, x: str, y: str,
+               epsg: int) -> DataFrame:
+    """Attach the EASE projection as columns ONCE per entity row.  The
+    projection (sin/log per Snyder q) is the expensive part of the
+    candidate pipeline; evaluating it per pixel (~10^6 rows) and per
+    center instead of per candidate PAIR (~10^8 rows) removes >90% of the
+    join's transcendental work (guide §2.3 — narrow/precompute before the
+    fan-out).  Same JVM expressions as before, so dist2 is bit-identical."""
+    px, py = _proj_cols(F.col(lon), F.col(lat), epsg)
+    return df.withColumn(x, px).withColumn(y, py)
+
+
+def _clip_and_dist(j: DataFrame, radius: float, wrap_lon: bool) -> DataFrame:
     """Exact search-region clip (the cell cover is a conservative
     superset; region geometry per CRS in the module docstring) + the
-    projected squared distance — shared by both cover paths."""
+    projected squared distance from the PRE-COMPUTED projection columns
+    (_px/_py per pixel, _cx/_cy per center) — shared by both cover
+    paths."""
     if wrap_lon:
         dlon = F.abs(F.pmod(F.col("lon") - F.col("c_lon") + F.lit(540.0),
                             F.lit(360.0)) - F.lit(180.0))
@@ -193,9 +208,10 @@ def _clip_and_dist(j: DataFrame, radius: float, epsg: int,
         dlon = F.abs(F.col("lon") - F.col("c_lon"))
     j = j.filter((dlon <= F.lit(radius))
                  & (F.abs(F.col("lat") - F.col("c_lat")) <= F.lit(radius)))
-    px, py = _proj_cols(F.col("lon"), F.col("lat"), epsg)
-    cx, cy = _proj_cols(F.col("c_lon"), F.col("c_lat"), epsg)
-    return j.withColumn("dist2", (px - cx) ** 2 + (py - cy) ** 2)
+    return (j.withColumn("dist2",
+                         (F.col("_px") - F.col("_cx")) ** 2
+                         + (F.col("_py") - F.col("_cy")) ** 2)
+             .drop("_px", "_py", "_cx", "_cy"))
 
 
 def _ring_candidates(spark: SparkSession, pixels: DataFrame,
@@ -204,16 +220,18 @@ def _ring_candidates(spark: SparkSession, pixels: DataFrame,
     """One expansion iteration's candidate set: Broadcast HASH join of
     pixels against the (q_id, cell_id) ring cover — never a nested-loop
     range join — then the exact region clip and distance."""
-    cover = F.broadcast(spark.createDataFrame(
-        _cover_rows(pending, radius, res)))
-    j = (pixels.withColumn("cell_id",
-                           _cell_id_col(F.col("lon"), F.col("lat"), res))
-               .join(cover, "cell_id"))
-    return _clip_and_dist(j, radius, epsg, wrap_lon)
+    cover = F.broadcast(_with_proj(
+        spark.createDataFrame(_cover_rows(pending, radius, res)),
+        "c_lon", "c_lat", "_cx", "_cy", epsg))
+    j = (_with_proj(pixels, "lon", "lat", "_px", "_py", epsg)
+         .withColumn("cell_id",
+                     _cell_id_col(F.col("lon"), F.col("lat"), res))
+         .join(cover, "cell_id"))
+    return _clip_and_dist(j, radius, wrap_lon)
 
 
 def _cover_df_jvm(spark: SparkSession, pending: pd.DataFrame,
-                  radius: float, res: int) -> DataFrame:
+                  radius: float, res: int, epsg: int) -> DataFrame:
     """The (q_id, cell_id, c_lat, c_lon) ring cover as a DISTRIBUTED
     DataFrame: per-center cell ranges with JVM arithmetic, expanded with
     sequence/explode on the executors — the cover never materializes on
@@ -223,7 +241,15 @@ def _cover_df_jvm(spark: SparkSession, pending: pd.DataFrame,
     floor/ceil/pmod formulas), property-tested for set equality in
     tests/test_knn.py."""
     n = 1 << res
-    c = spark.createDataFrame(pending[["q_id", "c_lat", "c_lon"]])
+    # localCheckpoint the Arrow-converted centers BEFORE the explode
+    # pipeline consumes them: scanning the pandas-backed plan inside the
+    # Generate stage measured ~10x slower than scanning materialized
+    # blocks (22s vs <1s for the 10^6-center cover at bench scale) — the
+    # python-sourced scan defeats whole-stage codegen for everything
+    # above it.  The checkpoint costs one ~24 MB materialization.
+    c = _with_proj(spark.createDataFrame(pending[["q_id", "c_lat", "c_lon"]])
+                        .localCheckpoint(eager=True),
+                   "c_lon", "c_lat", "_cx", "_cy", epsg)
     x0 = F.floor((F.col("c_lon") - F.lit(radius) + F.lit(180.0))
                  / F.lit(360.0) * F.lit(n)).cast("long")
     x1 = F.ceil((F.col("c_lon") + F.lit(radius) + F.lit(180.0))
@@ -252,7 +278,8 @@ def _cover_df_jvm(spark: SparkSession, pending: pd.DataFrame,
     iy = F.col("_y0") + F.col("_ly")
     cell = (F.lit(res).cast("long") * F.lit(1 << 58).cast("long")
             + F.shiftleft(ix, 29) + iy)
-    return c.select("q_id", cell.alias("cell_id"), "c_lat", "c_lon")
+    return c.select("q_id", cell.alias("cell_id"), "c_lat", "c_lon",
+                    "_cx", "_cy")
 
 
 def _ring_candidates_shuffle(spark: SparkSession, pixels: DataFrame,
@@ -265,12 +292,35 @@ def _ring_candidates_shuffle(spark: SparkSession, pixels: DataFrame,
     (AQE picks the physical strategy and splits skewed cells).  Cost is
     O(pixels_in_covers) candidate rows through one shuffle — linear in
     centers and pixels, never the single-key cartesian the over-coarsened
-    broadcast path degenerated to at 10^6 centers."""
-    cover = _cover_df_jvm(spark, pending, radius, res)
-    j = (pixels.withColumn("cell_id",
-                           _cell_id_col(F.col("lon"), F.col("lat"), res))
-               .join(cover, "cell_id"))
-    return _clip_and_dist(j, radius, epsg, wrap_lon)
+    broadcast path degenerated to at 10^6 centers.  (Broadcasting the
+    pixel side instead was measured at bench scale and lost: the ~300 MB
+    hash-relation build exceeded the exchange it saved.)"""
+    cover = _cover_df_jvm(spark, pending, radius, res, epsg)
+    pix2 = (_with_proj(pixels, "lon", "lat", "_px", "_py", epsg)
+            .withColumn("cell_id",
+                        _cell_id_col(F.col("lon"), F.col("lat"), res)))
+    return _clip_and_dist(pix2.join(cover, "cell_id"), radius, wrap_lon)
+
+
+def _topk_struct_agg(j: DataFrame, k: int) -> DataFrame:
+    """Aggregation-based per-query top-k for the kNN loop: ONE hash
+    aggregate ``slice(array_sort(collect_list(struct(dist2, pix_idx))),
+    1, k)`` per q_id — ascending (dist2, pix_idx), exactly row_number's
+    order with ties on pix_idx.  Replaces the two-window form (r5), which
+    paid TWO full shuffles + sorts of the raw candidate set (the windows
+    repartition by (q_id, pid) and then q_id); here partial aggregation
+    reduces map-side and only per-group arrays cross the exchange — and
+    when the candidate join keeps each q_id partition-local (the
+    broadcast-pixels cover path), the aggregate completes map-side
+    entirely.  Per-group transient state is the group's candidate structs
+    (16 B each); the sort-based aggregation fallback (>128 groups) keeps
+    the input sort spillable, so a domain-radius group degrades to disk,
+    not OOM.  Returns (q_id, _t: array<struct<dist2, pix_idx>> sorted,
+    len <= k)."""
+    s = F.struct(F.col("dist2"), F.col("pix_idx"))
+    return (j.groupBy("q_id")
+             .agg(F.slice(F.array_sort(F.collect_list(s)), 1, k)
+                   .alias("_t")))
 
 
 def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
@@ -315,7 +365,6 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
     pending = centers[["q_id", "c_lat", "c_lon"]].copy()
     radius = radius_deg or 2.0
     chunks = []
-    from .similarity import _topk_skew_safe
     while len(pending):
         res = _ring_resolution(radius, len(pending))
         if not _force_shuffle_cover and (
@@ -333,20 +382,21 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
             j = _ring_candidates_shuffle(spark, pixels, pending, radius,
                                          _matched_resolution(radius),
                                          epsg, wrap_lon)
-        # skew-safe two-phase top-k: a domain-scale radius can put millions
-        # of candidate pixels behind one q_id — never a single-partition
-        # window over them (same helper as the ANN paths).  persist: the
-        # confirmation aggregate AND the accepted-rows extraction both read
-        # it; one execution of the join.
-        top = _topk_skew_safe(
-            j, "q_id", [F.asc("dist2"), F.asc("pix_idx")], k).persist()
+        # ONE aggregate produces the ranked top-k array per query
+        # (ascending (dist2, pix_idx) — row_number's exact order); the
+        # confirmation counts AND the accepted rows are cheap projections
+        # of the checkpointed arrays, so the candidate join executes
+        # exactly once per iteration with no window shuffles (r5 paid two
+        # full candidate shuffles + sorts in the two-phase window, a
+        # separate count aggregate, and a second checkpoint).
+        top = _topk_struct_agg(j, k).localCheckpoint(eager=True)
         # confirmation: the k-th distance must be inside the verified radius
         # (distance to the searched region's boundary), else a closer pixel
         # could lie outside.  <= n_pending rows — loop control, not data.
         verified_m = _min_edge_distance_m(pending, radius, epsg)
-        counts = (top.groupBy("q_id")
-                     .agg(F.count(F.lit(1)).alias("n"),
-                          F.max("dist2").alias("maxd2")).toPandas())
+        counts = top.select(
+            "q_id", F.size("_t").alias("n"),
+            F.element_at(F.col("_t"), -1)["dist2"].alias("maxd2")).toPandas()
         last = radius >= max_radius_deg
         # vectorized confirmation — counts can hold 10^6 rows, so no
         # per-row Python: k-th distance inside the verified radius
@@ -376,12 +426,16 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
         if done:
             ids = spark.createDataFrame(
                 pd.DataFrame({"q_id": np.array(sorted(done), dtype=np.int64)}))
-            # accepted rows are <= |done| * k: checkpoint them (reads the
-            # persisted top) so later iterations never recompute this join
-            chunks.append(top.join(F.broadcast(ids), "q_id", "semi")
-                             .select("q_id", "rank", "pix_idx", "dist2")
-                             .localCheckpoint(eager=True))
-        top.unpersist()
+            # accepted rows stay a cheap VIEW over the checkpointed top-k
+            # arrays (<= k structs per query) — the checkpoint IS the
+            # output's backing store, no second materialization
+            chunks.append(
+                top.join(F.broadcast(ids), "q_id", "semi")
+                   .select("q_id", F.posexplode("_t").alias("_p", "_s"))
+                   .select("q_id",
+                           (F.col("_p") + 1).cast("int").alias("rank"),
+                           F.col("_s")["pix_idx"].alias("pix_idx"),
+                           F.col("_s")["dist2"].alias("dist2")))
         pending = pending[~pending["q_id"].astype(int).isin(done)]
         radius *= 2.0
     out = chunks[0]
