@@ -312,9 +312,19 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
     _wave_ddl = _bucket_ddl + ", bucket int"
 
     computed = 0
-    for w0 in range(0, len(pending), max(wave_size, 1)):
-        wave = pending[w0:w0 + max(wave_size, 1)]
-        tmpdir = os.path.join(checkpoint, "_wave.tmp")
+    waves = [pending[w0:w0 + max(wave_size, 1)]
+             for w0 in range(0, len(pending), max(wave_size, 1))]
+
+    def _run_wave(wi: int, wave) -> tuple:
+        """Compute + write + stats for one wave (no commits here).  Waves
+        are INDEPENDENT (disjoint pixel buckets), so two run concurrently
+        (guide §2.6): the second wave's tasks back-fill the first's write
+        /stats tail instead of idling the cluster — the per-wave fixed
+        costs (full pixel scan, cover broadcast, stats job) overlap.
+        Commits still happen in submission order on the main thread, so
+        the state file and kill-loss semantics stay deterministic; a kill
+        now loses at most the (<= 2) in-flight uncommitted waves."""
+        tmpdir = os.path.join(checkpoint, f"_wave{wi}.tmp")
         shutil.rmtree(tmpdir, ignore_errors=True)
         pix_w = pixels_all.filter(
             F.pmod(F.col("pix_idx"), F.lit(n_buckets))
@@ -347,6 +357,17 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
                       .groupBy("bucket")
                       .agg(F.count(F.lit(1)).alias("n"),
                            F.sum("area").alias("area_sum")).collect()}
+        return tmpdir, stats, wave_nb, wave_nc
+
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=2) if len(waves) > 1 else None
+    futures = ([pool.submit(_run_wave, wi, wave)
+                for wi, wave in enumerate(waves)] if pool else None)
+    for wi, wave in enumerate(waves):
+        if futures is not None:
+            tmpdir, stats, wave_nb, wave_nc = futures[wi].result()
+        else:
+            tmpdir, stats, wave_nb, wave_nc = _run_wave(wi, wave)
         for b in wave:
             part = os.path.join(checkpoint, f"bucket={b}")
             shutil.rmtree(part, ignore_errors=True)
@@ -373,11 +394,15 @@ def resume_pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,
             computed += 1
             _commit_state()
         shutil.rmtree(tmpdir, ignore_errors=True)
-    # a crash between the final wave's bucket commits and its rmtree above
-    # leaves _wave.tmp behind; a later resume with ZERO pending buckets
-    # never enters the wave loop, so clean up unconditionally here — the
-    # stale wave data can be GBs at scale (ADVICE r4)
-    shutil.rmtree(os.path.join(checkpoint, "_wave.tmp"), ignore_errors=True)
+    if pool is not None:
+        pool.shutdown(wait=False)
+    # a crash between a wave's bucket commits and its rmtree above leaves
+    # _wave<i>.tmp behind; a later resume with ZERO pending buckets never
+    # enters the wave loop, so clean up unconditionally here — the stale
+    # wave data can be GBs at scale (ADVICE r4)
+    import glob as _glob
+    for stale in _glob.glob(os.path.join(checkpoint, "_wave*.tmp")):
+        shutil.rmtree(stale, ignore_errors=True)
     if killed:
         raise RuntimeError(f"simulated failure after {computed} buckets")
 

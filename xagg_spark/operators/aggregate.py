@@ -147,27 +147,35 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
                   .select("poly_idx", *dims, value_col))
         return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
-    # numerators: one hash aggregate per (poly_idx, dims)
-    res = (joined.groupBy("poly_idx", *dims)
-                 .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s")))
-
-    # denominators (for_loop NaN semantics, core.py:812 + normalize
-    # drop_na, auxfuncs.py:10-53): a pixel is VALID for (poly[, var]) iff
-    # it has >= 1 finite value across the non-loc dims; denom = sum of _w
-    # over valid pixels.  Computed as a second two-level aggregate over the
-    # SAME joined tree — Spark reuses the broadcast/shuffle exchange, so
-    # this costs one extra aggregate, not a second fact-table scan + the
-    # old 3-pass allnan/tot/nanw scheme (2 weightmap scans + a full decode
-    # pass, ~11s at bench scale).  Pixels absent from the fact table are
-    # treated as all-NaN (excluded), matching the reference where every
-    # stacked loc carries (possibly NaN) values.
-    level1 = (joined.groupBy("poly_idx", "pix_idx", *vkeys)
-                    .agg(F.first("_w").alias("_w"),
-                         F.max(F.when(_finite(v), 1).otherwise(0)).alias("_af")))
-    denom = (level1.filter(F.col("_af") == 1)
-                   .groupBy("poly_idx", *vkeys)
-                   .agg(F.sum("_w").alias("_denom"),
-                        F.count(F.lit(1)).alias("_n_valid")))
+    # numerators AND the per-pixel validity table from ONE pass over the
+    # joined tree via GROUPING SETS: set 1 = (poly_idx, *dims) numerator
+    # sums, set 2 = (poly_idx, pix_idx, *vkeys) validity/weight rows for
+    # the for_loop denominators (core.py:812 + normalize drop_na,
+    # auxfuncs.py:10-53: a pixel is VALID for (poly[, var]) iff it has
+    # >= 1 finite value across the non-loc dims).  r5 ran these as two
+    # separate aggregates over the same join — on the broadcast path that
+    # executed the fact scan (the decode UDF) and the join TWICE per call
+    # (no exchange exists to reuse there; measured ~45% of aggregate wall
+    # at bench scale).  grouping("pix_idx") tells the two sets apart
+    # robustly (a genuine NULL in a user dims column cannot be confused
+    # with the grouping placeholder).  The output (tiny set-1 rows + one
+    # row per overlap x var) is checkpointed once so the two consumers
+    # below read blocks, not the join.
+    g = (joined.groupingSets(
+            [["poly_idx"] + dims, ["poly_idx", "pix_idx"] + vkeys],
+            "poly_idx", *dims, "pix_idx")
+           .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s"),
+                F.first("_w").alias("_w"),
+                F.max(F.when(_finite(v), 1).otherwise(0)).alias("_af"),
+                F.grouping("pix_idx").alias("_gp"))
+           .localCheckpoint(eager=True))
+    res = g.filter(F.col("_gp") == 1).select("poly_idx", *dims, "_s")
+    # pixels absent from the fact table are treated as all-NaN (excluded),
+    # matching the reference where every stacked loc carries values
+    denom = (g.filter((F.col("_gp") == 0) & (F.col("_af") == 1))
+              .groupBy("poly_idx", *vkeys)
+              .agg(F.sum("_w").alias("_denom"),
+                   F.count(F.lit(1)).alias("_n_valid")))
 
     # NaN result when no valid pixels; 0.0 when valid pixels exist but
     # every term at this dim was NaN or denom == 0 (xarray skipna sum)
@@ -180,7 +188,14 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
                                          F.lit(0.0))))
               .select("poly_idx", *dims, value_col))
 
-    return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
+    out = _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
+    # _merge_attrs eagerly checkpointed the tiny result — the grouping-set
+    # table's blocks (one row per overlap x var) are now dead weight; free
+    # them immediately so repeated aggregates in one session don't stack
+    # hundreds of MB of storage until the periodic GC runs
+    from ..session import free_local_checkpoint
+    free_local_checkpoint(g)
+    return out
 
 
 def _merge_attrs(res: DataFrame, spark, wm, dims, value_col) -> DataFrame:
