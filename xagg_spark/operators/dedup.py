@@ -195,6 +195,7 @@ def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
         lab = lab.unionByName(uni).distinct()
     lab = lab.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 
+    from pyspark.sql import Observation
     for _ in range(max_iter):
         # propagate: min label over the in-neighborhood
         nb = (edges.join(lab, edges.src == lab.node)
@@ -208,12 +209,21 @@ def connected_components(pairs: DataFrame, id_col_a: str = "id_a",
                        F.col("component").alias("m_comp"))
         new = (new.join(m, new.component == m.m_node, "left")
                   .select("node",
-                          F.coalesce("m_comp", "component").alias("component"))
+                          F.coalesce("m_comp", "component").alias("component")))
+        # convergence test FUSED into the checkpoint materialization: join
+        # the previous labels back in and count label changes with an
+        # Observation during the same job — one action per round instead
+        # of checkpoint + a separate count join (each round is a handful
+        # of small jobs, so action count is the wall clock here)
+        old = lab.select(F.col("node").alias("node"),
+                         F.col("component").alias("_old"))
+        obs = Observation()
+        new = (new.join(old, "node", "left")
+                  .observe(obs, F.sum((F.col("component") != F.col("_old"))
+                                      .cast("long")).alias("changed"))
+                  .select("node", "component")
                   .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                      .join(lab.alias("o"), "node")
-                      .filter(F.col("n.component") != F.col("o.component"))
-                      .count())
+        changed = int(obs.get["changed"] or 0)
         # `new` is eagerly materialized, so the superseded round's
         # checkpoint blocks are dead weight — free them now, not at GC
         free_local_checkpoint(lab)

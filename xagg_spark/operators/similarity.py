@@ -253,13 +253,22 @@ def train_ivf_centroids(corpus: DataFrame, k: int, n_iters: int = 5,
     - seeds: the k corpus vectors with the smallest (xxhash64(id), id) —
       a data-derived pseudo-random spread over the corpus, identical at
       any parallelism (no RNG state);
-    - E-step: ivf_assign (cosine, deterministic ties);
+    - E-step: nearest centroid by cosine rounded to round_digits, ties on
+      the smallest cent_id, degenerate (zero-norm) vectors to the
+      smallest cent_id — ivf_assign's exact rules, computed as ONE
+      Arrow-batched numpy matmul per partition (guide §4.2): the r5
+      crossJoin of corpus x centroids evaluated interpreted
+      zip_with/aggregate lambdas per PAIR (~10^8 boxed lambda calls per
+      iteration at k=256); the vectorized twin does the same math in
+      native BLAS and is per-row deterministic at any parallelism;
     - M-step in FIXED POINT: each component is quantized to
-      round(v * 2^_fp_bits) as a LONG and summed as integers.  Integer
-      addition is exact and order-independent, so the learned centroids —
-      and therefore every downstream assignment — are bit-identical at
-      any partitioning, unlike a float sum whose partial-aggregation
-      order varies with parallelism.  The quantization error (2^-24 per
+      round(v * 2^_fp_bits) (half-up, matching Spark ROUND) as an int64
+      and summed as integers — PARTIAL sums per Arrow batch in the same
+      numpy pass, finished by a tiny Spark aggregate.  Integer addition
+      is exact and order-independent, so the learned centroids — and
+      therefore every downstream assignment — are bit-identical at any
+      partitioning, unlike a float sum whose partial-aggregation order
+      varies with parallelism.  The quantization error (2^-24 per
       component) is far below round_digits resolution.
     - empty cells keep their previous centroid (deterministic).
 
@@ -293,20 +302,59 @@ def train_ivf_centroids(corpus: DataFrame, k: int, n_iters: int = 5,
                          f"{len(seeds)} (sampled) corpus vectors")
     cents = [[float(v) for v in r[0]] for r in seeds]
 
+    import numpy as np
+    import pandas as pd
+
     scale = float(1 << _fp_bits)
-    qcol = F.transform(
-        F.col(c_vec),
-        lambda v: F.round(v.cast("double") * F.lit(scale)).cast("long"))
+    rfac = 10.0 ** round_digits
+    # only the vector column crosses the Arrow boundary (guide §4.1)
+    vecs = base.select(c_vec)
+
+    def _em_pass(cents_list):
+        """One combined E+M pass: per Arrow batch, assign every vector to
+        its nearest centroid (numpy matmul) and emit the PARTIAL
+        fixed-point component sums per (cell, pos) — so one corpus scan
+        per iteration moves only ~k x dim x n_batches tiny rows back."""
+        C = np.asarray(cents_list, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+
+        def em(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                # float32 storage -> float64 math, like the expression
+                # path's per-element cast("double")
+                V = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                vn = np.sqrt((V * V).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (V @ C.T) / np.outer(vn, cn)
+                # Spark ROUND is half-up (away from zero); a NULL/NaN
+                # cosine (zero norm) can never win — same degenerate rule
+                # as ivf_assign (_never_wins)
+                cos = np.sign(cos) * np.floor(np.abs(cos) * rfac + 0.5) / rfac
+                cos = np.where(np.isfinite(cos), cos, -np.inf)
+                cell = cos.argmax(axis=1)        # first max = smallest id
+                q = np.sign(V) * np.floor(np.abs(V) * scale + 0.5)
+                q = q.astype(np.int64)
+                sums = np.zeros((len(C), V.shape[1]), dtype=np.int64)
+                np.add.at(sums, cell, q)
+                counts = np.bincount(cell, minlength=len(C)).astype(np.int64)
+                nz = np.where(counts > 0)[0]
+                dim = V.shape[1]
+                yield pd.DataFrame({
+                    "cell": np.repeat(nz, dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int64), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "n": np.repeat(counts[nz], dim)})
+
+        return em
+
     for _ in range(n_iters):
-        cdf = spark.createDataFrame(
-            [(i, cents[i]) for i in range(k)], schema="cent_id long, cent_vec array<double>")
-        assigned = ivf_assign(base, cdf, id_col=c_id, vec_col=c_vec,
-                              round_digits=round_digits)
-        sums = (assigned.select("cell", F.posexplode(qcol).alias("pos", "qv"))
-                        .groupBy("cell", "pos")
-                        .agg(F.sum("qv").alias("s"),
-                             F.count(F.lit(1)).alias("n"))
-                        .collect())                  # <= k x dim rows
+        part = vecs.mapInPandas(_em_pass(cents),
+                                "cell long, pos long, s long, n long")
+        sums = (part.groupBy("cell", "pos")
+                    .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                    .collect())                  # <= k x dim rows
         by_cell: dict = {}
         for r in sums:
             by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = \
