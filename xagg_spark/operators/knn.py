@@ -220,8 +220,11 @@ def _ring_candidates(spark: SparkSession, pixels: DataFrame,
     """One expansion iteration's candidate set: Broadcast HASH join of
     pixels against the (q_id, cell_id) ring cover — never a nested-loop
     range join — then the exact region clip and distance."""
+    # localCheckpoint before broadcasting: the broadcast build otherwise
+    # scans the pandas-backed plan (measured ~10x slower than block scan)
     cover = F.broadcast(_with_proj(
-        spark.createDataFrame(_cover_rows(pending, radius, res)),
+        spark.createDataFrame(_cover_rows(pending, radius, res))
+             .localCheckpoint(eager=True),
         "c_lon", "c_lat", "_cx", "_cy", epsg))
     j = (_with_proj(pixels, "lon", "lat", "_px", "_py", epsg)
          .withColumn("cell_id",
