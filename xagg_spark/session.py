@@ -36,6 +36,14 @@ def get_spark(app: str = "xagg_spark", master: str | None = None,
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # shuffle/spill scratch belongs on the fastest local storage (guide §1.3
+    # — local disk bandwidth can be the tighter shuffle limit; on clusters
+    # point this at node-local NVMe via XAGG_SPARK_LOCAL_DIR).  Shuffle
+    # scratch is transient and never survives the job, so a RAM-backed tmpfs
+    # is ideal where present; fall back to the JVM default otherwise.
+    local_dir = os.environ.get("XAGG_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-scratch"
     b = (SparkSession.builder.appName(app).master(master)
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
@@ -67,4 +75,6 @@ def get_spark(app: str = "xagg_spark", master: str | None = None,
          .config("spark.sql.files.maxPartitionBytes", "134217728")
          .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
          .config("spark.ui.enabled", "false"))
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     return b.getOrCreate()
