@@ -16,11 +16,13 @@ Reproduces the reference's default ``impl='for_loop'`` semantics
 Physical plan (byte-traffic-minimal form):
 
   ONE fact ⨝ overlaps equi-join on pix_idx (broadcast when the weightmap
-  fits, so the fact table never shuffles), feeding TWO hash aggregates that
-  share the exchange (Spark ReusedExchange): the numerator aggregate per
-  (poly_idx, dims), and a two-level valid-pixel aggregate producing the
-  per-(poly[, var]) denominators.  Everything after is tiny broadcast
-  joins.  No pass ever scans the fact table or the weightmap twice.
+  fits, so the fact table never shuffles), feeding ONE GROUPING SETS hash
+  aggregate that produces both granularities in a single pass over the
+  join: the numerator rows per (poly_idx, dims) and the per-pixel validity
+  rows that a second (tiny) aggregate turns into the per-(poly[, var])
+  denominators.  Everything after is tiny broadcast joins.  No pass ever
+  scans the fact table, the weightmap, or the join twice (r6: the former
+  two-aggregate shape re-ran the decode UDF + join on the broadcast path).
 
 All-variable aggregation happens in a single pass (reference loops vars but
 reuses the weightmap, core.py:718-721).
