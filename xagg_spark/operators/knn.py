@@ -427,14 +427,24 @@ def knn_pixels(spark: SparkSession, pixels: DataFrame, centers: pd.DataFrame,
                     f"output): q_id(s) {short[:20]}"
                     + (" ..." if len(short) > 20 else ""))
         if done:
-            ids = spark.createDataFrame(
-                pd.DataFrame({"q_id": np.array(sorted(done), dtype=np.int64)}))
+            if len(done) == len(pending):
+                # done is always a subset of pending, so equal sizes mean
+                # EVERY pending query confirmed (the common single-
+                # iteration case) and top's q_ids are all in done: the
+                # semi-join would be an identity — skip it and its
+                # 10^6-row broadcast build
+                sel = top
+            else:
+                ids = spark.createDataFrame(
+                    pd.DataFrame({"q_id": np.array(sorted(done),
+                                               dtype=np.int64)})
+                ).localCheckpoint(eager=True)
+                sel = top.join(F.broadcast(ids), "q_id", "semi")
             # accepted rows stay a cheap VIEW over the checkpointed top-k
             # arrays (<= k structs per query) — the checkpoint IS the
             # output's backing store, no second materialization
             chunks.append(
-                top.join(F.broadcast(ids), "q_id", "semi")
-                   .select("q_id", F.posexplode("_t").alias("_p", "_s"))
+                sel.select("q_id", F.posexplode("_t").alias("_p", "_s"))
                    .select("q_id",
                            (F.col("_p") + 1).cast("int").alias("rank"),
                            F.col("_s")["pix_idx"].alias("pix_idx"),
