@@ -273,12 +273,16 @@ def read_copartitioned(spark: SparkSession, name: str, polys, grid, epsg,
     writer or a hand-copied file must fail HERE, not produce wrong
     aggregates (VERDICT r4 ask #8; mirrors read_wm's lineage check).
 
-    n_rows is left None ON PURPOSE: with None the aggregate auto-picks the
-    non-broadcast join — exactly the bucket-co-located SortMergeJoin these
-    tables exist for."""
+    When verification ran, the VERIFIED overlap row count is carried on
+    the WeightMap (r6): the aggregate's dense-data fast path needs it, and
+    past BROADCAST_OVERLAPS_MAX_ROWS it does not change the join strategy
+    — the bucket-co-located SortMergeJoin these tables exist for.  With
+    verify=False the count stays None (no extra job; the aggregate then
+    always takes its general path)."""
     from ..operators.overlaps import WeightMap
     fact = spark.table(f"{name}_fact")
     overlaps = spark.table(f"{name}_overlaps")
+    n_overlaps = None
     if verify:
         nb_f = _table_num_buckets(spark, f"{name}_fact")
         nb_o = _table_num_buckets(spark, f"{name}_overlaps")
@@ -309,9 +313,11 @@ def read_copartitioned(spark: SparkSession, name: str, polys, grid, epsg,
                         "file(s) added, removed, or truncated since "
                         "save_copartitioned; the bucket layout can no "
                         "longer be trusted for the exchange-free join")
+                if key == "overlaps_rows":
+                    n_overlaps = n
     wm = WeightMap(overlaps=overlaps, polys=polys, grid=grid, epsg=epsg,
                    has_weights="weight" in overlaps.columns,
-                   n_rows=None, bucketed=True)
+                   n_rows=n_overlaps, bucketed=True)
     return fact, wm
 
 

@@ -16,13 +16,16 @@ Reproduces the reference's default ``impl='for_loop'`` semantics
 Physical plan (byte-traffic-minimal form):
 
   ONE fact ⨝ overlaps equi-join on pix_idx (broadcast when the weightmap
-  fits, so the fact table never shuffles), feeding ONE GROUPING SETS hash
-  aggregate that produces both granularities in a single pass over the
-  join: the numerator rows per (poly_idx, dims) and the per-pixel validity
-  rows that a second (tiny) aggregate turns into the per-(poly[, var])
-  denominators.  Everything after is tiny broadcast joins.  No pass ever
-  scans the fact table, the weightmap, or the join twice (r6: the former
-  two-aggregate shape re-ran the decode UDF + join on the broadcast path).
+  fits, so the fact table never shuffles) feeding the numerator aggregate,
+  which simultaneously OBSERVES the joined row count and the non-finite
+  value count (accumulators, zero extra passes).  When the observation
+  proves the data dense and all-finite — joined rows == overlap_rows x
+  |dims-space| and zero NaN/NULL values, both exact integers — the
+  for_loop denominators collapse to per-polygon weight sums over the
+  overlap table alone (r6 adaptive fast path: no second pass over the
+  join, no per-pixel validity table).  Otherwise the general per-pixel
+  validity aggregate runs over the join.  Everything after is tiny
+  broadcast joins.
 
 All-variable aggregation happens in a single pass (reference loops vars but
 reuses the weightmap, core.py:718-721).
@@ -149,35 +152,56 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
                   .select("poly_idx", *dims, value_col))
         return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
-    # numerators AND the per-pixel validity table from ONE pass over the
-    # joined tree via GROUPING SETS: set 1 = (poly_idx, *dims) numerator
-    # sums, set 2 = (poly_idx, pix_idx, *vkeys) validity/weight rows for
-    # the for_loop denominators (core.py:812 + normalize drop_na,
-    # auxfuncs.py:10-53: a pixel is VALID for (poly[, var]) iff it has
-    # >= 1 finite value across the non-loc dims).  r5 ran these as two
-    # separate aggregates over the same join — on the broadcast path that
-    # executed the fact scan (the decode UDF) and the join TWICE per call
-    # (no exchange exists to reuse there; measured ~45% of aggregate wall
-    # at bench scale).  grouping("pix_idx") tells the two sets apart
-    # robustly (a genuine NULL in a user dims column cannot be confused
-    # with the grouping placeholder).  The output (tiny set-1 rows + one
-    # row per overlap x var) is checkpointed once so the two consumers
-    # below read blocks, not the join.
-    g = (joined.groupingSets(
-            [["poly_idx"] + dims, ["poly_idx", "pix_idx"] + vkeys],
-            "poly_idx", *dims, "pix_idx")
-           .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s"),
-                F.first("_w").alias("_w"),
-                F.max(F.when(_finite(v), 1).otherwise(0)).alias("_af"),
-                F.grouping("pix_idx").alias("_gp"))
-           .localCheckpoint(eager=True))
-    res = g.filter(F.col("_gp") == 1).select("poly_idx", *dims, "_s")
-    # pixels absent from the fact table are treated as all-NaN (excluded),
-    # matching the reference where every stacked loc carries values
-    denom = (g.filter((F.col("_gp") == 0) & (F.col("_af") == 1))
-              .groupBy("poly_idx", *vkeys)
-              .agg(F.sum("_w").alias("_denom"),
-                   F.count(F.lit(1)).alias("_n_valid")))
+    # numerators in ONE pass over the joined tree, with an Observation
+    # counting the joined rows and the non-finite values DURING the same
+    # job (accumulator-based — no extra pass).  The checkpointed result is
+    # tiny (one row per poly x dims).
+    from pyspark.sql import Observation
+    obs = Observation()
+    res = (joined.observe(obs,
+                          F.count(F.lit(1)).alias("_rows"),
+                          F.sum(F.when(~_finite(v), 1).otherwise(0))
+                           .alias("_bad"))
+                 .groupBy("poly_idx", *dims)
+                 .agg(F.sum(F.when(_finite(v), v * F.col("_w"))).alias("_s"))
+                 .localCheckpoint(eager=True))
+    m = obs.get
+    n_ov = getattr(wm, "n_rows", None)
+    n_combos = (res.select(*dims).distinct().count() if dims else 1)
+    # DENSE + all-finite fast path: when every value is finite AND the
+    # joined row count equals overlap_rows x |dims-space| (every overlap
+    # pixel carries the full dims cross product — the reference's stacked
+    # layout, and the common clean-data case), every pixel is VALID for
+    # every var by construction, so the for_loop denominators (core.py:812)
+    # collapse to per-polygon weight sums over the OVERLAP table alone —
+    # no second pass over the fact join, no per-pixel validity table.
+    # Both conditions are exact integers observed from this very job;
+    # anything else (NaNs, missing tiles, bbox-subset facts, unknown
+    # n_rows) takes the general per-pixel path below.
+    if (n_ov is not None and int(m["_bad"] or 0) == 0
+            and int(m["_rows"] or 0) == n_ov * n_combos):
+        denom = (_ov_weighted(wm)
+                 .groupBy("poly_idx")
+                 .agg(F.sum("_w").alias("_denom"),
+                      F.count(F.lit(1)).alias("_n_valid")))
+        if vkeys:
+            denom = denom.crossJoin(res.select(*vkeys).distinct())
+    else:
+        # general path (for_loop NaN semantics, core.py:812 + normalize
+        # drop_na, auxfuncs.py:10-53): a pixel is VALID for (poly[, var])
+        # iff it has >= 1 finite value across the non-loc dims; denom =
+        # sum of _w over valid pixels — a second two-level aggregate over
+        # the join.  Pixels absent from the fact table are treated as
+        # all-NaN (excluded), matching the reference where every stacked
+        # loc carries (possibly NaN) values.
+        level1 = (joined.groupBy("poly_idx", "pix_idx", *vkeys)
+                        .agg(F.first("_w").alias("_w"),
+                             F.max(F.when(_finite(v), 1).otherwise(0))
+                              .alias("_af")))
+        denom = (level1.filter(F.col("_af") == 1)
+                       .groupBy("poly_idx", *vkeys)
+                       .agg(F.sum("_w").alias("_denom"),
+                            F.count(F.lit(1)).alias("_n_valid")))
 
     # NaN result when no valid pixels; 0.0 when valid pixels exist but
     # every term at this dim was NaN or denom == 0 (xarray skipna sum)
@@ -190,14 +214,7 @@ def aggregate(pix_values: DataFrame, wm, dims=("var", "t"),
                                          F.lit(0.0))))
               .select("poly_idx", *dims, value_col))
 
-    out = _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
-    # _merge_attrs eagerly checkpointed the tiny result — the grouping-set
-    # table's blocks (one row per overlap x var) are now dead weight; free
-    # them immediately so repeated aggregates in one session don't stack
-    # hundreds of MB of storage until the periodic GC runs
-    from ..session import free_local_checkpoint
-    free_local_checkpoint(g)
-    return out
+    return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
 
 def _merge_attrs(res: DataFrame, spark, wm, dims, value_col) -> DataFrame:
@@ -269,6 +286,16 @@ def aggregate_quantile(pix_values: DataFrame, wm, q: float = 0.5,
     return _merge_attrs(res, pix_values.sparkSession, wm, dims, value_col)
 
 
+def _ov_weighted(wm) -> DataFrame:
+    """Overlap side with the weight column `_w` = rel_area * add_weight —
+    shared by the fact join head and the dense-path denominators."""
+    over = wm.overlaps
+    if not wm.has_weights:
+        over = over.withColumn("weight", F.lit(1.0))
+    return over.select("poly_idx", "pix_idx",
+                       (F.col("rel_area") * F.col("weight")).alias("_w"))
+
+
 def _weighted_fact_join(pix_values: DataFrame, wm,
                         broadcast_overlaps: bool | None) -> DataFrame:
     """The shared head of every zonal-stat entry point: weight column
@@ -278,11 +305,7 @@ def _weighted_fact_join(pix_values: DataFrame, wm,
     WeightMap (pixel_overlaps/read_wm set it) — never an eager count()
     here, which would re-execute the whole overlap DAG when the caller
     did not persist it."""
-    over = wm.overlaps
-    if not wm.has_weights:
-        over = over.withColumn("weight", F.lit(1.0))
-    ov = over.select("poly_idx", "pix_idx",
-                     (F.col("rel_area") * F.col("weight")).alias("_w"))
+    ov = _ov_weighted(wm)
     if broadcast_overlaps is None:
         n_rows = getattr(wm, "n_rows", None)
         broadcast_overlaps = (n_rows is not None
