@@ -220,11 +220,11 @@ def _ring_candidates(spark: SparkSession, pixels: DataFrame,
     """One expansion iteration's candidate set: Broadcast HASH join of
     pixels against the (q_id, cell_id) ring cover — never a nested-loop
     range join — then the exact region clip and distance."""
-    # localCheckpoint before broadcasting: the broadcast build otherwise
-    # scans the pandas-backed plan (measured ~10x slower than block scan)
+    # blocks before broadcasting: the broadcast build otherwise scans the
+    # pandas-backed plan (measured ~10x slower than a block scan)
+    from ..session import pandas_to_spark_blocks
     cover = F.broadcast(_with_proj(
-        spark.createDataFrame(_cover_rows(pending, radius, res))
-             .localCheckpoint(eager=True),
+        pandas_to_spark_blocks(spark, _cover_rows(pending, radius, res)),
         "c_lon", "c_lat", "_cx", "_cy", epsg))
     j = (_with_proj(pixels, "lon", "lat", "_px", "_py", epsg)
          .withColumn("cell_id",
@@ -244,14 +244,16 @@ def _cover_df_jvm(spark: SparkSession, pending: pd.DataFrame,
     floor/ceil/pmod formulas), property-tested for set equality in
     tests/test_knn.py."""
     n = 1 << res
-    # localCheckpoint the Arrow-converted centers BEFORE the explode
+    # materialize the centers as checkpointed blocks BEFORE the explode
     # pipeline consumes them: scanning the pandas-backed plan inside the
     # Generate stage measured ~10x slower than scanning materialized
     # blocks (22s vs <1s for the 10^6-center cover at bench scale) — the
     # python-sourced scan defeats whole-stage codegen for everything
-    # above it.  The checkpoint costs one ~24 MB materialization.
-    c = _with_proj(spark.createDataFrame(pending[["q_id", "c_lat", "c_lon"]])
-                        .localCheckpoint(eager=True),
+    # above it.  pandas_to_spark_blocks does the conversion through a
+    # native parquet roundtrip (another ~4x on the conversion itself).
+    from ..session import pandas_to_spark_blocks
+    c = _with_proj(pandas_to_spark_blocks(
+                       spark, pending[["q_id", "c_lat", "c_lon"]]),
                    "c_lon", "c_lat", "_cx", "_cy", epsg)
     x0 = F.floor((F.col("c_lon") - F.lit(radius) + F.lit(180.0))
                  / F.lit(360.0) * F.lit(n)).cast("long")

@@ -556,13 +556,14 @@ def _overlap_prep(spark: SparkSession, grid, polys: PolygonSet,
     if len(cover) == 0:
         raise NoOverlapError("No `ds` grid cells overlapped with any polygon in `gdf_in`. "
                              "Check the input `ds` and `gdf_in`.")
-    # localCheckpoint the Arrow-converted cover: every job that uses the
-    # broadcast (candidate join, resume waves, repeated builds sharing
+    # materialize the cover as checkpointed blocks: every job that uses
+    # the broadcast (candidate join, resume waves, repeated builds sharing
     # _prep) re-executes the broadcast child, and scanning the
     # pandas-backed plan is ~10x slower than scanning materialized blocks
-    # (same pathology measured on the kNN cover).  Costs one ~30 MB
-    # materialization per prep.
-    return res, spark.createDataFrame(cover).localCheckpoint(eager=True)
+    # (same pathology measured on the kNN cover); the conversion itself
+    # goes through pandas_to_spark_blocks' native parquet roundtrip.
+    from ..session import pandas_to_spark_blocks
+    return res, pandas_to_spark_blocks(spark, cover)
 
 
 def pixel_overlaps(spark: SparkSession, grid, polys: PolygonSet,

